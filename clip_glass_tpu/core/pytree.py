@@ -1,0 +1,73 @@
+"""Parameter-pytree utilities: flat-key access, npz save/load, tree casting.
+
+Models in this framework are plain functions over nested-dict parameter
+pytrees (no module framework), which makes torch-checkpoint import
+(weights/torch_import.py) and sharding annotation trivial.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SEP = "."
+
+
+def flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """Nested dict -> {dotted.key: leaf}."""
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{SEP}{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def unflatten(flat: Dict[str, Any]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split(SEP)
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def save_npz(path: str, tree: Dict[str, Any]) -> None:
+    flat = {k: np.asarray(v) for k, v in flatten(tree).items()}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        np.savez(f, **flat)
+
+
+def load_npz(path: str, dtype=None) -> Dict[str, Any]:
+    with np.load(path) as data:
+        flat = {k: jnp.asarray(data[k], dtype) if dtype is not None and np.issubdtype(data[k].dtype, np.floating)
+                else jnp.asarray(data[k]) for k in data.files}
+    return unflatten(flat)
+
+
+def cast_floats(tree, dtype):
+    """Cast floating leaves to dtype, leave ints/bools untouched."""
+    def _cast(x):
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            return jnp.asarray(x, dtype)
+        return jnp.asarray(x)
+    return jax.tree.map(_cast, tree)
+
+
+def n_params(tree) -> int:
+    return sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(tree))
+
+
+def tree_bytes(tree) -> int:
+    return sum(int(np.prod(np.shape(x))) * jnp.asarray(x).dtype.itemsize
+               for x in jax.tree.leaves(tree))

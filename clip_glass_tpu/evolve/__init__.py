@@ -1,0 +1,2 @@
+from clip_glass_tpu.evolve import sampling, crossover, mutation, selection, nds, survival  # noqa: F401
+from clip_glass_tpu.evolve.algorithm import GAState, make_algorithm, minimize  # noqa: F401

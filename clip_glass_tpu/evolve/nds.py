@@ -1,0 +1,89 @@
+"""Non-dominated sorting + crowding distance, fully on-device.
+
+The reference delegates these to pymoo's host-side numpy NSGA-II (reference
+run.py:59-76). Here both run inside jit with fixed shapes: domination as an
+O(n^2) boolean matrix (n = 2*pop <= 512 for every reference config — trivial
+on the VPU), front ranks by iterative peeling under `lax.while_loop`, and
+pymoo's exact crowding formula evaluated per front via lexicographic sorts
+and segment reductions keyed by front id.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def domination_matrix(F: jnp.ndarray) -> jnp.ndarray:
+    """D[i, j] = individual i dominates j (all objectives <=, one <)."""
+    le = jnp.all(F[:, None, :] <= F[None, :, :], axis=-1)
+    lt = jnp.any(F[:, None, :] < F[None, :, :], axis=-1)
+    return le & lt
+
+
+def non_dominated_rank(F: jnp.ndarray) -> jnp.ndarray:
+    """Front index per individual (0 = Pareto front), via front peeling."""
+    D = domination_matrix(F)
+    n = F.shape[0]
+
+    def cond(state):
+        rank, _ = state
+        return jnp.any(rank < 0)
+
+    def body(state):
+        rank, front = state
+        unassigned = rank < 0
+        dominated = jnp.any(D & unassigned[:, None], axis=0)
+        current = unassigned & ~dominated
+        return jnp.where(current, front, rank), front + 1
+
+    rank0 = jnp.full((n,), -1, jnp.int32)
+    rank, _ = lax.while_loop(cond, body, (rank0, jnp.int32(0)))
+    return rank
+
+
+def crowding_distance(F: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
+    """pymoo-0.4.2 crowding distance computed within each front.
+
+    Per objective: sort front members, gap to sorted neighbors normalized by
+    the front's objective range (0 when the range collapses), boundaries inf;
+    total = mean over objectives.
+    """
+    n, n_obj = F.shape
+
+    def per_objective(f):
+        # lexicographic: primary front rank, secondary objective value
+        order = jnp.lexsort((f, rank))
+        f_sorted = f[order]
+        r_sorted = rank[order]
+
+        same_prev = jnp.concatenate([jnp.array([False]), r_sorted[1:] == r_sorted[:-1]])
+        same_next = jnp.concatenate([r_sorted[1:] == r_sorted[:-1], jnp.array([False])])
+        prev_val = jnp.concatenate([f_sorted[:1], f_sorted[:-1]])
+        next_val = jnp.concatenate([f_sorted[1:], f_sorted[-1:]])
+
+        # per-front objective range via segment reductions keyed by front id
+        fmax = jax.ops.segment_max(f, rank, num_segments=n)
+        fmin = jax.ops.segment_min(f, rank, num_segments=n)
+        norm = (fmax - fmin)[rank][order]
+
+        gap_prev = jnp.where(same_prev, f_sorted - prev_val, jnp.inf)
+        gap_next = jnp.where(same_next, next_val - f_sorted, jnp.inf)
+        # norm == 0: constant objective inside the front -> contribution 0
+        # (pymoo sets norm=nan then zeroes the resulting nans; inf boundaries
+        # in such fronts also become 0 for this objective)
+        d = jnp.where(norm > 0, gap_prev / norm + gap_next / norm, 0.0)
+
+        inv = jnp.argsort(order)
+        return d[inv]
+
+    dists = jax.vmap(per_objective, in_axes=1, out_axes=1)(F)
+    crowd = jnp.sum(dists, axis=1) / n_obj
+
+    # fronts with <= 2 members: all inf (pymoo calc_crowding_distance n<=2 path
+    # generalized per front; boundaries already inf, this covers interior-less
+    # fronts whose both gaps were finite-normalized away)
+    front_sizes = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), rank, num_segments=n)
+    crowd = jnp.where(front_sizes[rank] <= 2, jnp.inf, crowd)
+    return crowd

@@ -1,0 +1,64 @@
+"""GPT-2 byte-level BPE tokenizer (reference gpt2/encoder.py:40-115).
+
+Loads the standard `encoder.json` (token->id) + `vocab.bpe` (merges) shipped
+with GPT-2 124M. Pure host-side Python; the hot decode path of the img2txt
+search calls this once per generation on ~pop strings of ~50 chars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+from typing import Dict, List
+
+from clip_glass_tpu.tokenizers.bpe import bpe_merge, bytes_to_unicode, pretokenize_gpt2
+
+_ASSET_DIR = os.path.join(os.path.dirname(__file__), "assets")
+
+
+class GPT2Tokenizer:
+    def __init__(self, encoder_path: str = None, vocab_path: str = None,
+                 errors: str = "replace"):
+        encoder_path = encoder_path or os.path.join(_ASSET_DIR, "gpt2_encoder.json")
+        vocab_path = vocab_path or os.path.join(_ASSET_DIR, "gpt2_vocab.bpe")
+        with open(encoder_path, "r", encoding="utf-8") as f:
+            self.encoder: Dict[str, int] = json.load(f)
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        self.errors = errors
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        with open(vocab_path, "r", encoding="utf-8") as f:
+            bpe_data = f.read()
+        merges = [tuple(line.split()) for line in bpe_data.split("\n")[1:-1]]
+        self.bpe_ranks = dict(zip(merges, range(len(merges))))
+        self._cache: Dict[str, str] = {}
+
+    @property
+    def eot_id(self) -> int:
+        return self.encoder["<|endoftext|>"]
+
+    def _bpe(self, token: str) -> str:
+        if token in self._cache:
+            return self._cache[token]
+        word = bpe_merge(tuple(token), self.bpe_ranks)
+        out = " ".join(word)
+        self._cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for token in pretokenize_gpt2(text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self._bpe(token).split(" "))
+        return ids
+
+    def decode(self, ids: List[int]) -> str:
+        text = "".join(self.decoder.get(int(t), "") for t in ids)
+        return bytearray(self.byte_decoder[c] for c in text).decode(
+            "utf-8", errors=self.errors)
+
+
+@lru_cache()
+def get_gpt2_tokenizer() -> GPT2Tokenizer:
+    return GPT2Tokenizer()
