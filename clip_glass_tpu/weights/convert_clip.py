@@ -1,0 +1,122 @@
+"""CLIP torch-state-dict -> JAX pytree converter.
+
+Consumes the eager CLIP state_dict layout (the `build_model` input format,
+reference clip/model.py:363-399; key names from reference clip/model.py
+module structure). Linear weights are transposed to right-multiply layout;
+the patch conv kernel [width, 3, P, P] becomes the [3*P*P, width] patch-embed
+matmul matrix (flattening order (c, ph, pw) matches models/clip/model.py's
+patch extraction).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from clip_glass_tpu.models.clip.model import CLIPConfig
+
+
+def infer_config(sd: Dict[str, np.ndarray]) -> CLIPConfig:
+    """Infer hyperparameters from state-dict shapes (reference clip/model.py:363-381)."""
+    vision_width = sd["visual.conv1.weight"].shape[0]
+    patch = sd["visual.conv1.weight"].shape[-1]
+    n_tok = sd["visual.positional_embedding"].shape[0]
+    grid = int(round((n_tok - 1) ** 0.5))
+    vision_layers = len({k.split(".")[3] for k in sd
+                        if k.startswith("visual.transformer.resblocks.")})
+    embed_dim = sd["text_projection"].shape[1]
+    context_length = sd["positional_embedding"].shape[0]
+    vocab_size = sd["token_embedding.weight"].shape[0]
+    tw = sd["ln_final.weight"].shape[0]
+    t_layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")})
+    return CLIPConfig(
+        embed_dim=embed_dim, image_resolution=grid * patch,
+        vision_layers=vision_layers, vision_width=vision_width,
+        vision_patch_size=patch, context_length=context_length,
+        vocab_size=vocab_size, transformer_width=tw,
+        transformer_heads=tw // 64, transformer_layers=t_layers)
+
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, np.float32)
+
+
+def _block(sd, prefix: str):
+    return {
+        "ln_1": {"scale": _np(sd[f"{prefix}.ln_1.weight"]),
+                 "bias": _np(sd[f"{prefix}.ln_1.bias"])},
+        "attn": {
+            "in_proj_weight": _np(sd[f"{prefix}.attn.in_proj_weight"]).T,
+            "in_proj_bias": _np(sd[f"{prefix}.attn.in_proj_bias"]),
+            "out_proj_weight": _np(sd[f"{prefix}.attn.out_proj.weight"]).T,
+            "out_proj_bias": _np(sd[f"{prefix}.attn.out_proj.bias"]),
+        },
+        "ln_2": {"scale": _np(sd[f"{prefix}.ln_2.weight"]),
+                 "bias": _np(sd[f"{prefix}.ln_2.bias"])},
+        "mlp": {
+            "c_fc_weight": _np(sd[f"{prefix}.mlp.c_fc.weight"]).T,
+            "c_fc_bias": _np(sd[f"{prefix}.mlp.c_fc.bias"]),
+            "c_proj_weight": _np(sd[f"{prefix}.mlp.c_proj.weight"]).T,
+            "c_proj_bias": _np(sd[f"{prefix}.mlp.c_proj.bias"]),
+        },
+    }
+
+
+def _stack(blocks):
+    import jax
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *blocks)
+
+
+def convert(sd: Dict[str, np.ndarray], cfg: CLIPConfig = None):
+    """torch state dict (tensors or ndarrays) -> (params, cfg)."""
+    cfg = cfg or infer_config({k: _np(v) for k, v in sd.items()})
+    w = cfg.vision_width
+    conv = _np(sd["visual.conv1.weight"])  # [w, 3, P, P]
+    patch_mat = conv.reshape(w, -1).T      # [3*P*P, w]
+
+    params = {
+        "visual": {
+            "patch_embed": {"weight": jnp.asarray(patch_mat)},
+            "class_embedding": jnp.asarray(_np(sd["visual.class_embedding"])),
+            "positional_embedding": jnp.asarray(_np(sd["visual.positional_embedding"])),
+            "ln_pre": {"scale": jnp.asarray(_np(sd["visual.ln_pre.weight"])),
+                       "bias": jnp.asarray(_np(sd["visual.ln_pre.bias"]))},
+            "blocks": _stack([_block(sd, f"visual.transformer.resblocks.{i}")
+                              for i in range(cfg.vision_layers)]),
+            "ln_post": {"scale": jnp.asarray(_np(sd["visual.ln_post.weight"])),
+                        "bias": jnp.asarray(_np(sd["visual.ln_post.bias"]))},
+            "proj": jnp.asarray(_np(sd["visual.proj"])),
+        },
+        "text": {
+            "token_embedding": jnp.asarray(_np(sd["token_embedding.weight"])),
+            "positional_embedding": jnp.asarray(_np(sd["positional_embedding"])),
+            "blocks": _stack([_block(sd, f"transformer.resblocks.{i}")
+                              for i in range(cfg.transformer_layers)]),
+            "ln_final": {"scale": jnp.asarray(_np(sd["ln_final.weight"])),
+                         "bias": jnp.asarray(_np(sd["ln_final.bias"]))},
+            "text_projection": jnp.asarray(_np(sd["text_projection"])),
+        },
+        "logit_scale": jnp.asarray(_np(sd["logit_scale"])),
+    }
+    return params, cfg
+
+
+def load_torch_checkpoint(path: str):
+    """Load an OpenAI CLIP checkpoint (TorchScript archive or plain state
+    dict, reference clip/clip.py:60-78) and convert."""
+    import torch
+    try:
+        model = torch.jit.load(path, map_location="cpu")
+        sd = model.state_dict()
+    except Exception:
+        sd = torch.load(path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+    sd = {k: v for k, v in sd.items()
+          if not k.startswith("input_resolution") and not k.startswith("context_length")
+          and not k.startswith("vocab_size")}
+    return convert(sd)

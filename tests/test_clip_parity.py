@@ -1,0 +1,117 @@
+"""Float parity of the JAX CLIP vs the reference PyTorch CLIP
+(reference clip/model.py), both towers, with randomized weights run through
+the real converter (weights/convert_clip.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_glass_tpu.core.dtypes import FP32, Policy
+from clip_glass_tpu.models.clip import model as jclip
+from clip_glass_tpu.weights import convert_clip
+
+from reference_oracle import add_reference_path, randomize_module
+
+torch = pytest.importorskip("torch")
+
+# small-but-real hyperparams: 2 layers keeps the oracle fast on CPU while
+# covering every code path (patch embed, cls token, causal mask, EOT pooling)
+SMALL = dict(embed_dim=64, image_resolution=64, vision_layers=2,
+             vision_width=128, vision_patch_size=16, context_length=77,
+             vocab_size=49408, transformer_width=64, transformer_heads=1,
+             transformer_layers=2)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    add_reference_path()
+    from clip.model import CLIP as TorchCLIP
+    m = TorchCLIP(**{
+        "embed_dim": SMALL["embed_dim"],
+        "image_resolution": SMALL["image_resolution"],
+        "vision_layers": SMALL["vision_layers"],
+        "vision_width": SMALL["vision_width"],
+        "vision_patch_size": SMALL["vision_patch_size"],
+        "context_length": SMALL["context_length"],
+        "vocab_size": SMALL["vocab_size"],
+        "transformer_width": SMALL["transformer_width"],
+        "transformer_heads": SMALL["transformer_heads"],
+        "transformer_layers": SMALL["transformer_layers"],
+    })
+    randomize_module(m, seed=7)
+    m.eval()
+    params, cfg = convert_clip.convert(m.state_dict())
+    return m, params, cfg
+
+
+def test_infer_config(oracle):
+    _, _, cfg = oracle
+    for k, v in SMALL.items():
+        assert getattr(cfg, k) == v, k
+
+
+def test_encode_image_parity(oracle):
+    m, params, cfg = oracle
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (4, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = m.encode_image(torch.from_numpy(imgs)).numpy()
+    enc = jax.jit(lambda p, im: jclip.encode_image(p, im, cfg, FP32))
+    got = np.asarray(enc(params, jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_encode_text_parity(oracle):
+    m, params, cfg = oracle
+    rng = np.random.default_rng(1)
+    ids = np.zeros((3, 77), np.int64)
+    for i, L in enumerate([5, 20, 76]):
+        ids[i, 0] = 49406
+        ids[i, 1:L] = rng.integers(1, 40000, L - 1)
+        ids[i, L] = 49407
+    with torch.no_grad():
+        want = m.encode_text(torch.from_numpy(ids)).numpy()
+    enc = jax.jit(lambda p, t: jclip.encode_text(p, t, cfg, FP32))
+    got = np.asarray(enc(params, jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_cosine_similarity_parity(oracle):
+    """End fitness signal: cosine(image emb, text emb) must track the
+    reference closely (this is what the GA actually consumes,
+    reference generator.py:51)."""
+    m, params, cfg = oracle
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(0, 1, (4, 3, 64, 64)).astype(np.float32)
+    ids = np.zeros((1, 77), np.int64)
+    ids[0, 0] = 49406
+    ids[0, 1:6] = rng.integers(1, 40000, 5)
+    ids[0, 6] = 49407
+    with torch.no_grad():
+        ti = m.encode_image(torch.from_numpy(imgs))
+        tt = m.encode_text(torch.from_numpy(ids))
+        want = torch.cosine_similarity(ti, tt).numpy()
+    @jax.jit
+    def cos(p, im, t):
+        ji = jclip.encode_image(p, im, cfg, FP32)
+        jt = jclip.encode_text(p, t, cfg, FP32)
+        return jnp.sum(ji * jt, -1) / (jnp.linalg.norm(ji, axis=-1) * jnp.linalg.norm(jt, axis=-1))
+    got = np.asarray(cos(params, jnp.asarray(imgs), jnp.asarray(ids, jnp.int32)))
+    # fp32 reduction-order noise through 2 towers of randomized (std=0.02)
+    # weights; real checkpoints give much tighter agreement
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+def test_bf16_policy_cosine_close_to_fp32(oracle):
+    """bf16 compute must not meaningfully move the fitness signal
+    (SURVEY.md hard part #5)."""
+    _, params, cfg = oracle
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.uniform(0, 1, (4, 3, 64, 64)).astype(np.float32))
+    bf16 = Policy(jnp.float32, jnp.bfloat16)
+    e32 = np.asarray(jax.jit(lambda p, im: jclip.encode_image(p, im, cfg, FP32))(params, imgs))
+    e16 = np.asarray(jax.jit(lambda p, im: jclip.encode_image(p, im, cfg, bf16))(params, imgs), np.float32)
+    cos = (e32 * e16).sum(-1) / (np.linalg.norm(e32, axis=-1) * np.linalg.norm(e16, axis=-1))
+    assert (cos > 0.995).all()
