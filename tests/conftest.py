@@ -15,6 +15,9 @@ import jax  # noqa: E402
 # persistent cache makes repeated test runs (and repeated ops) cheap.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# This environment's CPU XLA runs 'default'-precision convs/matmuls at
+# reduced (~bf16) accuracy; parity tests need true fp32.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

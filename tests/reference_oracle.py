@@ -12,10 +12,22 @@ import types
 REFERENCE = "/root/reference"
 
 
+class _PermissiveModule(types.ModuleType):
+    """Module stub returning inert placeholders for any attribute (the
+    reference imports torchvision symbols at module scope that the tested
+    forward paths never call)."""
+
+    def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        # a fresh type works both as a callable and as a base class
+        return type(name, (), {"__init__": lambda self, *a, **k: None})
+
+
 def _stub(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
-    mod = types.ModuleType(name)
+    mod = _PermissiveModule(name)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
@@ -27,14 +39,32 @@ def add_reference_path():
         sys.path.insert(0, REFERENCE)
     # stubs for modules the reference imports at module scope but the
     # forward paths never call
-    _stub("torchvision")
-    _stub("torchvision.utils", make_grid=None, save_image=None)
-    _stub("torchvision.transforms")
+    tv = _stub("torchvision")
+    tv.utils = _stub("torchvision.utils")
+    tv.transforms = _stub("torchvision.transforms")
+    tv.models = _stub("torchvision.models")
+    tv.datasets = _stub("torchvision.datasets")
     _stub("yaml", safe_load=lambda *a, **k: {}, dump=lambda *a, **k: "")
     _stub("tqdm", tqdm=lambda x, **k: x, trange=range)
     mpl = _stub("matplotlib")
     _stub("matplotlib.pyplot")
     mpl.pyplot = sys.modules["matplotlib.pyplot"]
+
+
+def import_reference_stylegan2():
+    """Import ONLY stylegan2.{utils,modules,models} from the reference without
+    executing stylegan2/__init__.py (which pulls in inception/tensorboard/apex
+    dependencies irrelevant to the forward paths under test)."""
+    import importlib
+
+    add_reference_path()
+    if "stylegan2" not in sys.modules or not hasattr(sys.modules["stylegan2"], "__path__"):
+        pkg = types.ModuleType("stylegan2")
+        pkg.__path__ = [REFERENCE + "/stylegan2"]
+        sys.modules["stylegan2"] = pkg
+    modules = importlib.import_module("stylegan2.modules")
+    models = importlib.import_module("stylegan2.models")
+    return models, modules
 
 
 def randomize_module(module, seed: int = 0, std: float = 0.02):
