@@ -135,10 +135,24 @@ def test_conv_down_1x1_matches_reference(rng, x8):
 
 
 def test_minibatch_std_matches_reference(rng):
+    # NOTE: the reference MinibatchStd mutates its input in place in fp32
+    # (stylegan2/modules.py:728 via the .view()/.float() alias), so torch
+    # must get a private copy or the oracle comparison is self-fulfilling.
     x = rng.normal(size=(8, 6, 4, 4)).astype(np.float32)
     m = ref_modules.MinibatchStd(group_size=4)
     with torch.no_grad():
-        want = m(torch.from_numpy(x)).numpy()
+        want = m(torch.from_numpy(x.copy())).numpy()
     got = nchw(jax.jit(lambda a: ba.minibatch_std(a, 4))(nhwc(x)))
     assert got.shape == want.shape == (8, 7, 4, 4)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_minibatch_std_centers_input_like_reference_fp32(rng):
+    """The fp32 in-place centering quirk is load-bearing for D parity."""
+    x = rng.normal(size=(4, 6, 4, 4)).astype(np.float32)
+    got = nchw(ba.minibatch_std(nhwc(x), 2))
+    grouped = x.reshape(2, 2, 6, 4, 4)
+    centered = (grouped - grouped.mean(axis=0, keepdims=True)).reshape(4, 6, 4, 4)
+    np.testing.assert_allclose(got[:, :6], centered, rtol=1e-5, atol=1e-6)
+    raw = nchw(ba.minibatch_std(nhwc(x), 2, center_input=False))
+    np.testing.assert_allclose(raw[:, :6], x, rtol=0, atol=0)
