@@ -1,0 +1,229 @@
+"""GPT-2 (124M) language model with scan-based KV-cache decoding, TPU-native.
+
+Behavioral reference: gpt2/model.py (tanh-GELU 12-13, TF LayerNorm 15-28,
+Conv1D 30-43, scaled causal attention with `w*b - 1e10*(1-b)` masking 45-95,
+tied LM head 194-212) and the autoregressive loop of gpt2/sample.py:21-36
+(temperature, top-k, argmax when sample=False — the CLIP-GLaSS setting,
+reference config.py:19).
+
+TPU-first design:
+- All 12 blocks parameter-stacked; one `lax.scan` over layers per token step.
+- Decoding is `lax.scan` over a PREALLOCATED [L, 2, B, H, T_max, hd] KV cache
+  with position masking — fixed shapes, no concatenation, the whole
+  prefill+decode compiles to a single XLA program. The reference instead
+  grows `past` tensors per step on the host loop (gpt2/sample.py:26-35).
+- Conv1D weights are already [in, out]; no transposes on import.
+- Every search genome has identical length (dim_z + len(init_tokens)),
+  so there is no padding/ragged handling anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from clip_glass_tpu.core.dtypes import Policy, FP32
+
+NEG_BIG = -1e10
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Config:
+    vocab_size: int = 50257
+    n_positions: int = 1024
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    layer_norm_epsilon: float = 1e-5
+
+
+GPT2_124M = GPT2Config()
+TINY = GPT2Config(vocab_size=50257, n_positions=128, n_embd=64, n_layer=2,
+                  n_head=2)
+
+
+# ---------------------------------------------------------------- init
+
+def init(key, cfg: GPT2Config = GPT2_124M, std: float = 0.02):
+    D = cfg.n_embd
+    ks = jax.random.split(key, 2 + cfg.n_layer)
+
+    def block(k):
+        k = jax.random.split(k, 4)
+        return {
+            "ln_1": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+            "attn": {
+                "c_attn_w": std * jax.random.normal(k[0], (D, 3 * D)),
+                "c_attn_b": jnp.zeros((3 * D,)),
+                "c_proj_w": std * jax.random.normal(k[1], (D, D)),
+                "c_proj_b": jnp.zeros((D,)),
+            },
+            "ln_2": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+            "mlp": {
+                "c_fc_w": std * jax.random.normal(k[2], (D, 4 * D)),
+                "c_fc_b": jnp.zeros((4 * D,)),
+                "c_proj_w": std * jax.random.normal(k[3], (4 * D, D)),
+                "c_proj_b": jnp.zeros((D,)),
+            },
+        }
+
+    blocks = [block(ks[2 + i]) for i in range(cfg.n_layer)]
+    return {
+        "wte": std * jax.random.normal(ks[0], (cfg.vocab_size, D)),
+        "wpe": std * jax.random.normal(ks[1], (cfg.n_positions, D)),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "ln_f": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+    }
+
+
+# ---------------------------------------------------------------- forward
+
+def _ln(x, p, eps):
+    x32 = jnp.asarray(x, jnp.float32)
+    u = jnp.mean(x32, -1, keepdims=True)
+    s = jnp.mean(jnp.square(x32 - u), -1, keepdims=True)
+    y = (x32 - u) * jax.lax.rsqrt(s + eps)
+    return (y * p["g"] + p["b"]).astype(x.dtype)
+
+
+def _gelu(x):
+    # tanh approximation (reference gpt2/model.py:12-13)
+    return 0.5 * x * (1 + jnp.tanh(math.sqrt(2 / math.pi)
+                                   * (x + 0.044715 * jnp.power(x, 3))))
+
+
+def _block_step(x, bp, cache_kv, pos_offset, cfg: GPT2Config, policy: Policy):
+    """One transformer block over x: [B, T, D] with optional KV cache.
+
+    cache_kv: None or [2, B, H, T_max, hd] holding keys/values for positions
+    < pos_offset; returns (out, new_kv_for_this_x) where new_kv covers x's
+    positions [pos_offset, pos_offset+T).
+    """
+    B, T, D = x.shape
+    H = cfg.n_head
+    hd = D // H
+    h = _ln(x, bp["ln_1"], cfg.layer_norm_epsilon)
+    qkv = h @ policy.cast_compute(bp["attn"]["c_attn_w"]) + policy.cast_compute(bp["attn"]["c_attn_b"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, T, H, hd).transpose(0, 2, 1, 3)  # [B,H,T,hd]
+
+    q, k, v = heads(q), heads(k), heads(v)
+
+    if cache_kv is None:
+        keys, vals = k, v
+        kv_len = T
+        key_pos = jnp.arange(T)
+    else:
+        T_max = cache_kv.shape[-2]
+        keys = jax.lax.dynamic_update_slice_in_dim(
+            cache_kv[0], k, pos_offset, axis=2)
+        vals = jax.lax.dynamic_update_slice_in_dim(
+            cache_kv[1], v, pos_offset, axis=2)
+        kv_len = T_max
+        key_pos = jnp.arange(T_max)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, keys,
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+    q_pos = pos_offset + jnp.arange(T)
+    # reference masking: w*b - 1e10*(1-b) (gpt2/model.py:66-67)
+    mask = (key_pos[None, :] <= q_pos[:, None]).astype(jnp.float32)
+    logits = logits * mask + NEG_BIG * (1.0 - mask)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    a = jnp.einsum("bhqk,bhkd->bhqd", w, vals)
+    a = a.transpose(0, 2, 1, 3).reshape(B, T, D)
+    a = a @ policy.cast_compute(bp["attn"]["c_proj_w"]) + policy.cast_compute(bp["attn"]["c_proj_b"])
+    x = x + a
+
+    h = _ln(x, bp["ln_2"], cfg.layer_norm_epsilon)
+    h = _gelu(h @ policy.cast_compute(bp["mlp"]["c_fc_w"]) + policy.cast_compute(bp["mlp"]["c_fc_b"]))
+    h = h @ policy.cast_compute(bp["mlp"]["c_proj_w"]) + policy.cast_compute(bp["mlp"]["c_proj_b"])
+    x = x + h
+    new_kv = None if cache_kv is None else jnp.stack([keys, vals])
+    return x, new_kv
+
+
+def forward(params, input_ids, cfg: GPT2Config = GPT2_124M,
+            cache: Optional[jnp.ndarray] = None, pos_offset=0,
+            policy: Policy = FP32) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """input_ids: [B, T] -> (logits [B, T, V], new_cache).
+
+    cache: [L, 2, B, H, T_max, hd] or None. With a cache, positions
+    [pos_offset, pos_offset+T) are written and attention spans the full
+    cache with position masking.
+    """
+    x = policy.cast_compute(params["wte"][input_ids])
+    pos = pos_offset + jnp.arange(input_ids.shape[1])
+    x = x + policy.cast_compute(params["wpe"][pos])
+
+    if cache is None:
+        def body(h, bp):
+            h, _ = _block_step(h, bp, None, 0, cfg, policy)
+            return h, None
+        x, _ = jax.lax.scan(body, x, params["blocks"])
+        new_cache = None
+    else:
+        def body(h, xs):
+            bp, layer_cache = xs
+            h, new_kv = _block_step(h, bp, layer_cache, pos_offset, cfg, policy)
+            return h, new_kv
+        x, new_cache = jax.lax.scan(body, x, (params["blocks"], cache))
+
+    x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
+    logits = x @ policy.cast_compute(params["wte"]).T
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------- sampling
+
+def _select_next(logits, temperature, top_k, sample, key):
+    """Next-token rule of reference gpt2/sample.py:10-34: temperature scale,
+    top-k floor mask to -1e10, then multinomial (stochastic) or top-1."""
+    logits = jnp.asarray(logits, jnp.float32) / temperature
+    if top_k:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1]
+        logits = jnp.where(logits < kth[:, None], NEG_BIG, logits)
+    if sample:
+        return jax.random.categorical(key, logits, axis=-1)
+    return jnp.argmax(logits, axis=-1)
+
+
+def sample_sequence(params, context, length: int, cfg: GPT2Config = GPT2_124M,
+                    temperature: float = 1.0, top_k: int = 0,
+                    sample: bool = False, key=None,
+                    policy: Policy = FP32) -> jnp.ndarray:
+    """context: [B, T0] int32 -> [B, T0 + length] generated ids.
+
+    One jittable program: prefill fills the cache for the T0 context tokens,
+    then `lax.scan` decodes `length` tokens (reference gpt2/sample.py:21-36;
+    deterministic argmax path is the CLIP-GLaSS default, config.py:19).
+    """
+    B, T0 = context.shape
+    T_max = T0 + length
+    H, hd = cfg.n_head, cfg.n_embd // cfg.n_head
+    cache = jnp.zeros((cfg.n_layer, 2, B, H, T_max, hd),
+                      policy.compute_dtype)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    logits, cache = forward(params, context, cfg, cache, 0, policy)
+    key, sub = jax.random.split(key)
+    nxt = _select_next(logits[:, -1], temperature, top_k, sample, sub)
+
+    def step(carry, _):
+        tok, cache, pos, key = carry
+        logits, cache = forward(params, tok[:, None], cfg, cache, pos, policy)
+        key, sub = jax.random.split(key)
+        nxt = _select_next(logits[:, -1], temperature, top_k, sample, sub)
+        return (nxt, cache, pos + 1, key), tok
+
+    # the prefill already produced generated token #1; scan the rest
+    (last, _, _, _), toks = jax.lax.scan(
+        step, (nxt, cache, T0, key), None, length=length - 1)
+    gen = jnp.concatenate([toks.T, last[:, None]], axis=1)  # [B, length]
+    return jnp.concatenate([context, gen], axis=1)
