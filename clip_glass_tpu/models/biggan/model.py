@@ -1,0 +1,293 @@
+"""BigGAN-deep generator (128/256/512 px), TPU-native.
+
+The reference consumes BigGAN-deep through the external
+`pytorch-pretrained-biggan` pip package (reference models.py:65-86,
+config.py:37/59: `BigGAN.from_pretrained("biggan-deep-256"/"-512")`,
+signature `G(z, class_vector, truncation)`). This module reimplements that
+generator from the architecture: shared class embedding (a bias-free linear
+over the soft class vector — which is what makes CLIP-GLaSS's softmax class
+genome work, reference latent.py:21-24), cond_vector = [z, embed], one
+dense to a 4x4x16ch seed, bottleneck residual GenBlocks with conditional
+batch norm (truncation-interpolated running stats), one self-attention block
+at 64px, final BN->ReLU->conv->slice RGB->tanh (output in [-1,1], hence
+`biggan_norm`, reference utils.py:14-17).
+
+TPU-first: NHWC layout; the seed dense already lands in NHWC (the TF/HF
+layout views to [B,4,4,C]); nearest-neighbor 2x upsampling via reshape
+broadcast; spectral norm is folded into effective weights at conversion
+(eval-time spectral_norm is a constant per-weight scale).
+
+No oracle package is available in this environment, so tests cover
+structural invariants + determinism; converter targets the HF state-dict
+layout (weight_orig/weight_u/weight_v) for real checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_glass_tpu.core.dtypes import Policy, FP32
+
+
+@dataclasses.dataclass(frozen=True)
+class BigGANConfig:
+    z_dim: int = 128
+    channel_width: int = 128
+    num_classes: int = 1000
+    # (up_sample, in_mult, out_mult) per GenBlock, first -> last
+    layers: Sequence[Tuple[bool, int, int]] = ()
+    attention_layer_position: int = 8
+    eps: float = 1e-4
+    n_stats: int = 51
+    output_dim: int = 256
+
+    @property
+    def cond_dim(self) -> int:
+        return 2 * self.z_dim
+
+
+_L128 = [(False, 16, 16), (True, 16, 16), (False, 16, 16), (True, 16, 8),
+         (False, 8, 8), (True, 8, 4), (False, 4, 4), (True, 4, 2),
+         (False, 2, 2), (True, 2, 1)]
+_L256 = [(False, 16, 16), (True, 16, 16), (False, 16, 16), (True, 16, 8),
+         (False, 8, 8), (True, 8, 8), (False, 8, 8), (True, 8, 4),
+         (False, 4, 4), (True, 4, 2), (False, 2, 2), (True, 2, 1)]
+_L512 = _L256 + [(False, 1, 1), (True, 1, 1)]
+
+BIGGAN_DEEP_128 = BigGANConfig(layers=tuple(_L128), output_dim=128)
+BIGGAN_DEEP_256 = BigGANConfig(layers=tuple(_L256), output_dim=256)
+BIGGAN_DEEP_512 = BigGANConfig(layers=tuple(_L512), attention_layer_position=8,
+                               output_dim=512)
+# tiny variant for tests/dryrun: 16px out, 2 blocks, slim channels
+TINY = BigGANConfig(z_dim=16, channel_width=8, num_classes=10,
+                    layers=((False, 2, 2), (True, 2, 1)),
+                    attention_layer_position=0, output_dim=8)
+
+CONFIGS = {"biggan-deep-128": BIGGAN_DEEP_128,
+           "biggan-deep-256": BIGGAN_DEEP_256,
+           "biggan-deep-512": BIGGAN_DEEP_512}
+
+
+def truncated_noise_sample(key, batch: int, dim_z: int = 128,
+                           truncation: float = 1.0):
+    """truncnorm(-2, 2) * truncation (the pip package helper used at
+    reference latent.py:9)."""
+    return truncation * jax.random.truncated_normal(
+        key, -2.0, 2.0, (batch, dim_z), jnp.float32)
+
+
+# ---------------------------------------------------------------- init
+
+def _linear(key, in_f, out_f, bias=True, std=0.02):
+    p = {"w": std * jax.random.normal(key, (in_f, out_f))}
+    if bias:
+        p["b"] = jnp.zeros((out_f,))
+    return p
+
+
+def _conv(key, in_ch, out_ch, k, bias=True, std=0.02):
+    p = {"w": std * jax.random.normal(key, (k, k, in_ch, out_ch))}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,))
+    return p
+
+
+def _cond_bn(key, ch, cond_dim, n_stats):
+    k1, k2 = jax.random.split(key)
+    return {
+        "running_means": jnp.zeros((n_stats, ch)),
+        "running_vars": jnp.ones((n_stats, ch)),
+        "scale": _linear(k1, cond_dim, ch, bias=False),
+        "offset": _linear(k2, cond_dim, ch, bias=False),
+    }
+
+
+def _plain_bn(ch, n_stats):
+    return {
+        "running_means": jnp.zeros((n_stats, ch)),
+        "running_vars": jnp.ones((n_stats, ch)),
+        "weight": jnp.ones((ch,)),
+        "bias": jnp.zeros((ch,)),
+    }
+
+
+def _gen_block(key, in_ch, out_ch, cond_dim, n_stats, reduction=4):
+    mid = in_ch // reduction
+    ks = jax.random.split(key, 8)
+    return {
+        "bn_0": _cond_bn(ks[0], in_ch, cond_dim, n_stats),
+        "conv_0": _conv(ks[1], in_ch, mid, 1),
+        "bn_1": _cond_bn(ks[2], mid, cond_dim, n_stats),
+        "conv_1": _conv(ks[3], mid, mid, 3),
+        "bn_2": _cond_bn(ks[4], mid, cond_dim, n_stats),
+        "conv_2": _conv(ks[5], mid, mid, 3),
+        "bn_3": _cond_bn(ks[6], mid, cond_dim, n_stats),
+        "conv_3": _conv(ks[7], mid, out_ch, 1),
+    }
+
+
+def _self_attn(key, ch):
+    ks = jax.random.split(key, 4)
+    return {
+        "theta": _conv(ks[0], ch, ch // 8, 1, bias=False),
+        "phi": _conv(ks[1], ch, ch // 8, 1, bias=False),
+        "g": _conv(ks[2], ch, ch // 2, 1, bias=False),
+        "o_conv": _conv(ks[3], ch // 2, ch, 1, bias=False),
+        "gamma": jnp.zeros(()),
+    }
+
+
+def init(key, cfg: BigGANConfig = BIGGAN_DEEP_256):
+    ch = cfg.channel_width
+    n_layers = len(cfg.layers)
+    ks = jax.random.split(key, n_layers + 5)
+    blocks: List = []
+    for i, (up, in_m, out_m) in enumerate(cfg.layers):
+        if i == cfg.attention_layer_position:
+            blocks.append({"attn": _self_attn(ks[i], ch * in_m)})
+        blocks.append({"block": _gen_block(ks[i], ch * in_m, ch * out_m,
+                                           cfg.cond_dim, cfg.n_stats)})
+    first_mult = cfg.layers[0][1]
+    return {
+        "embeddings": _linear(ks[-1], cfg.num_classes, cfg.z_dim, bias=False),
+        "gen_z": _linear(ks[-2], cfg.cond_dim, 4 * 4 * first_mult * ch),
+        "blocks": blocks,
+        "bn": _plain_bn(ch * cfg.layers[-1][2], cfg.n_stats),
+        "conv_to_rgb": _conv(ks[-3], ch * cfg.layers[-1][2],
+                             ch * cfg.layers[-1][2], 3),
+    }
+
+
+# ---------------------------------------------------------------- forward
+
+def _interp_stats(means, variances, truncation: float, n_stats: int):
+    """Running stats are recorded for truncation values linspace(0,1,n_stats);
+    linearly interpolate to the requested (static) truncation."""
+    idx = truncation * (n_stats - 1)
+    lo = int(math.floor(idx))
+    rest = idx - lo
+    if rest == 0.0:
+        return means[lo], variances[lo]
+    return (means[lo] * (1 - rest) + means[lo + 1] * rest,
+            variances[lo] * (1 - rest) + variances[lo + 1] * rest)
+
+
+def _cond_bn_apply(p, x, cond, truncation, cfg, policy: Policy):
+    mean, var = _interp_stats(p["running_means"], p["running_vars"],
+                              truncation, cfg.n_stats)
+    weight = 1.0 + cond @ policy.cast_compute(p["scale"]["w"])
+    bias = cond @ policy.cast_compute(p["offset"]["w"])
+    x32 = jnp.asarray(x, jnp.float32)
+    y = (x32 - mean) * jax.lax.rsqrt(var + cfg.eps)
+    y = y * jnp.asarray(weight, jnp.float32)[:, None, None, :] \
+        + jnp.asarray(bias, jnp.float32)[:, None, None, :]
+    return y.astype(x.dtype)
+
+
+def _plain_bn_apply(p, x, truncation, cfg):
+    mean, var = _interp_stats(p["running_means"], p["running_vars"],
+                              truncation, cfg.n_stats)
+    x32 = jnp.asarray(x, jnp.float32)
+    y = (x32 - mean) * jax.lax.rsqrt(var + cfg.eps)
+    return (y * p["weight"] + p["bias"]).astype(x.dtype)
+
+
+def _conv_apply(p, x, policy: Policy, stride=1):
+    w = policy.cast_compute(p["w"])
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC")))
+    if "b" in p:
+        y = y + policy.cast_compute(p["b"])
+    return y
+
+
+def _upsample_nearest(x):
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, 2 * H, 2 * W, C)
+
+
+def _maxpool2(x):
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def _gen_block_apply(p, x, cond, truncation, up: bool, cfg, policy: Policy):
+    x0 = x
+    h = jax.nn.relu(_cond_bn_apply(p["bn_0"], x, cond, truncation, cfg, policy))
+    h = _conv_apply(p["conv_0"], h, policy)
+    h = jax.nn.relu(_cond_bn_apply(p["bn_1"], h, cond, truncation, cfg, policy))
+    if up:
+        h = _upsample_nearest(h)
+    h = _conv_apply(p["conv_1"], h, policy)
+    h = jax.nn.relu(_cond_bn_apply(p["bn_2"], h, cond, truncation, cfg, policy))
+    h = _conv_apply(p["conv_2"], h, policy)
+    h = jax.nn.relu(_cond_bn_apply(p["bn_3"], h, cond, truncation, cfg, policy))
+    h = _conv_apply(p["conv_3"], h, policy)
+
+    out_ch = h.shape[-1]
+    if x0.shape[-1] != out_ch:
+        x0 = x0[..., :out_ch]  # channel-drop residual (BigGAN-deep)
+    if up:
+        x0 = _upsample_nearest(x0)
+    return h + x0
+
+
+def _self_attn_apply(p, x, policy: Policy):
+    B, H, W, C = x.shape
+    theta = _conv_apply(p["theta"], x, policy).reshape(B, H * W, C // 8)
+    phi = _maxpool2(_conv_apply(p["phi"], x, policy)).reshape(B, H * W // 4, C // 8)
+    attn = jax.nn.softmax(
+        jnp.einsum("bqc,bkc->bqk", theta, phi,
+                   preferred_element_type=jnp.float32), axis=-1).astype(x.dtype)
+    g = _maxpool2(_conv_apply(p["g"], x, policy)).reshape(B, H * W // 4, C // 2)
+    attn_g = jnp.einsum("bqk,bkc->bqc", attn, g).reshape(B, H, W, C // 2)
+    o = _conv_apply(p["o_conv"], attn_g, policy)
+    return x + policy.cast_compute(p["gamma"]) * o
+
+
+def apply(params, z, class_vector, truncation: float = 1.0,
+          cfg: BigGANConfig = BIGGAN_DEEP_256,
+          policy: Policy = FP32) -> jnp.ndarray:
+    """z: [B, z_dim]; class_vector: [B, num_classes] soft class weights
+    (softmax of the bool genome, reference latent.py:21-24). Returns images
+    [B, 3, H, W] in [-1, 1]."""
+    z = policy.cast_compute(z)
+    # embeddings.w stored [num_classes, z_dim] (converter transposes HF's
+    # nn.Linear layout)
+    embed = policy.cast_compute(class_vector) @ policy.cast_compute(
+        params["embeddings"]["w"])
+    cond = jnp.concatenate([z, embed], axis=1)
+
+    h = cond @ policy.cast_compute(params["gen_z"]["w"]) + policy.cast_compute(
+        params["gen_z"]["b"])
+    ch = cfg.channel_width
+    first_mult = cfg.layers[0][1]
+    # the TF/HF layout views the seed as [B, 4, 4, C] (already NHWC)
+    h = h.reshape(-1, 4, 4, first_mult * ch)
+
+    li = 0
+    for entry in params["blocks"]:
+        if "attn" in entry:
+            h = _self_attn_apply(entry["attn"], h, policy)
+        else:
+            up = cfg.layers[li][0]
+            h = _gen_block_apply(entry["block"], h, cond, truncation, up,
+                                 cfg, policy)
+            li += 1
+
+    h = jax.nn.relu(_plain_bn_apply(params["bn"], h, truncation, cfg))
+    h = _conv_apply(params["conv_to_rgb"], h, policy)
+    h = h[..., :3]
+    h = jnp.tanh(h)
+    return jnp.transpose(h, (0, 3, 1, 2))  # NCHW like the reference
