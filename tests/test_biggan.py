@@ -45,21 +45,21 @@ def test_class_vector_changes_output(tiny):
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
-def test_truncation_interpolates_stats(tiny):
-    import copy
-    params = jax.tree.map(lambda x: x, tiny)
-    # make stats vary across truncation entries so interpolation is visible
-    means = np.zeros((51, 16), np.float32)
+def test_truncation_interpolates_stats():
+    """Stats interpolation rule of the HF conditional BN: stats recorded at
+    truncation linspace(0, 1, n_stats); linear interp between neighbors."""
+    means = np.zeros((51, 4), np.float32)
     means[25] = 1.0
-    # blocks[0] is the attn entry in TINY (attention_layer_position=0)
-    params["blocks"][1]["block"]["bn_0"]["running_means"] = jnp.asarray(means)
-    z = jnp.ones((1, 16))
-    cv = jnp.full((1, 10), 0.1)
-    a = bg.apply(params, z, cv, 0.5, bg.TINY, FP32)    # hits entry 25
-    b = bg.apply(params, z, cv, 0.49, bg.TINY, FP32)   # interpolates 24/25
-    c = bg.apply(params, z, cv, 1.0, bg.TINY, FP32)    # entry 50 (zeros)
-    assert not np.allclose(np.asarray(a), np.asarray(c))
-    assert not np.allclose(np.asarray(a), np.asarray(b))
+    means[50] = 3.0
+    variances = np.ones((51, 4), np.float32)
+    variances[24] = 2.0
+    m, v = bg._interp_stats(jnp.asarray(means), jnp.asarray(variances), 0.5, 51)
+    np.testing.assert_allclose(np.asarray(m), 1.0)
+    m, v = bg._interp_stats(jnp.asarray(means), jnp.asarray(variances), 0.49, 51)
+    np.testing.assert_allclose(np.asarray(m), 0.5)   # halfway 24 -> 25
+    np.testing.assert_allclose(np.asarray(v), 1.5)
+    m, _ = bg._interp_stats(jnp.asarray(means), jnp.asarray(variances), 1.0, 51)
+    np.testing.assert_allclose(np.asarray(m), 3.0)
 
 
 def test_real_config_shapes():
