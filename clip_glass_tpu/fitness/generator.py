@@ -1,0 +1,284 @@
+"""Generator facade: frozen CLIP + frozen generative model + fitness.
+
+Behavioral reference: reference generator.py:11-72 (class Generator) — loads
+CLIP ViT-B/32 and the config's model, precomputes target text/image features
+once, and scores candidates by CLIP cosine similarity (plus an optional
+discriminator term consumed by the problem layer).
+
+TPU-native differences:
+- `eval_population` is ONE jittable function [pop, n_var] -> [pop, n_obj];
+  the reference instead loops python minibatches and crosses host<->device
+  twice per generation (reference models.py:75-130, problem.py:14-29).
+- The img2txt GPT-2 BPE round trip (decode GPT-2 tokens -> re-encode with
+  CLIP BPE, reference models.py:32-42 + generator.py:53-56) runs as a
+  `jax.pure_callback` INSIDE the jitted program: fixed-shape [pop, 77] token
+  output, so the whole generation step remains a single XLA program with a
+  tiny host excursion.
+- Model weights load from converted checkpoints when present; `weights
+  ="random:<seed>"` builds reproducible random-init models (tests, smoke
+  runs, benchmarking without the reference's downloaded checkpoints).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_glass_tpu.core.dtypes import Policy
+from clip_glass_tpu.fitness import latent as latent_mod
+from clip_glass_tpu.models import biggan as bg
+from clip_glass_tpu.models import gpt2 as g2
+from clip_glass_tpu.models.clip import model as clip_model
+from clip_glass_tpu.models.stylegan2 import model as sg2
+from clip_glass_tpu.ops.resize import clip_preprocess_pil, resize_bilinear
+from clip_glass_tpu.tokenizers import get_clip_tokenizer, get_gpt2_tokenizer, tokenize
+
+CONTEXT_LENGTH = 77
+
+
+def biggan_norm(images):
+    """[-1,1] -> [0,1] clipped (reference utils.py:14-17)."""
+    return jnp.clip((images + 1.0) / 2.0, 0.0, 1.0)
+
+
+def biggan_denorm(images):
+    """[0,1] -> [-1,1] (reference utils.py:19-21)."""
+    return images * 2.0 - 1.0
+
+
+def _is_random(weights: str) -> bool:
+    return isinstance(weights, str) and weights.startswith("random")
+
+
+def _random_seed(weights: str) -> int:
+    return int(weights.split(":")[1]) if ":" in weights else 0
+
+
+class Generator:
+    """Owns CLIP + the model params and exposes jittable fitness pieces."""
+
+    def __init__(self, config, policy: Optional[Policy] = None,
+                 clip_weights: str = "random:0", clip_cfg=None, model_cfg=None):
+        from clip_glass_tpu.core.dtypes import Policy as P
+        self.config = config
+        self.policy = policy or P.make(config.param_dtype, config.compute_dtype)
+
+        # ---- CLIP (reference generator.py:16: clip.load("ViT-B/32", jit=False))
+        if _is_random(clip_weights):
+            self.clip_cfg = clip_cfg or clip_model.VIT_B_32
+            self.clip_params = clip_model.init(
+                jax.random.PRNGKey(_random_seed(clip_weights)), self.clip_cfg)
+        else:
+            from clip_glass_tpu.weights import convert_clip
+            self.clip_params, self.clip_cfg = convert_clip.load_torch_checkpoint(
+                clip_weights)
+
+        # ---- model family (model_cfg overrides the default architecture,
+        # e.g. TINY variants for tests / the multichip dryrun)
+        self._model_cfg_override = model_cfg
+        self._load_model(config)
+
+        # ---- target features (computed once, reference generator.py:22-27)
+        if config.task == "txt2img":
+            tokens = jnp.asarray(tokenize([config.target]))
+            self.text_features = jax.jit(
+                lambda p, t: clip_model.encode_text(p, t, self.clip_cfg, self.policy)
+            )(self.clip_params, tokens)
+            self.image_features = None
+        else:
+            from PIL import Image
+            img = clip_preprocess_pil(Image.open(config.target),
+                                      self.clip_cfg.image_resolution)
+            self.image_features = jax.jit(
+                lambda p, im: clip_model.encode_image(p, im, self.clip_cfg, self.policy)
+            )(self.clip_params, jnp.asarray(img))
+            self.text_features = None
+
+    # ------------------------------------------------------------ loading
+
+    def _load_model(self, config):
+        fam = config.model
+        if fam == "stylegan2":
+            if _is_random(config.weights):
+                self.model_cfg = self._model_cfg_override or sg2.CONFIG_F
+                key = jax.random.PRNGKey(_random_seed(config.weights))
+                kg, kd = jax.random.split(key)
+                self.g_params = sg2.generator_init(kg, self.model_cfg)
+                self.d_params = (sg2.discriminator_init(kd, self.model_cfg)
+                                 if config.use_discriminator else None)
+            else:
+                from clip_glass_tpu.weights import convert_stylegan2
+                gp = os.path.join(config.weights, "G.pth")
+                if not os.path.exists(gp):
+                    raise FileNotFoundError(
+                        f"StyleGAN2 weights not found at {gp}; convert the "
+                        "reference checkpoints (see weights/convert_stylegan2.py) "
+                        "or use weights='random:<seed>'")
+                self.g_params, self.model_cfg, _ = convert_stylegan2.load_pth(gp)
+                self.d_params = None
+                if config.use_discriminator:
+                    self.d_params, _, _ = convert_stylegan2.load_pth(
+                        os.path.join(config.weights, "D.pth"))
+            # fixed noise drawn once: deterministic fitness for the GA (the
+            # reference redraws noise every call, see models/stylegan2 docstring)
+            self.noise = [jax.random.normal(k, s) for k, s in zip(
+                jax.random.split(jax.random.PRNGKey(7), len(self.model_cfg.noise_shapes())),
+                self.model_cfg.noise_shapes())]
+        elif fam == "biggan":
+            if _is_random(config.weights):
+                self.model_cfg = self._model_cfg_override or bg.CONFIGS.get(
+                    f"biggan-deep-{config.resolution}", bg.BIGGAN_DEEP_256)
+                self.g_params = bg.init(
+                    jax.random.PRNGKey(_random_seed(config.weights)), self.model_cfg)
+            else:
+                from clip_glass_tpu.weights import convert_biggan
+                if os.path.exists(config.weights):
+                    self.g_params, self.model_cfg = convert_biggan.load_torch_checkpoint(
+                        config.weights, f"biggan-deep-{config.resolution}")
+                else:
+                    raise FileNotFoundError(
+                        f"BigGAN weights not found at {config.weights!r}; "
+                        "provide the pytorch_model.bin path or weights='random:<seed>'")
+            self.d_params = None
+        elif fam == "gpt2":
+            if _is_random(config.weights):
+                self.model_cfg = self._model_cfg_override or g2.GPT2_124M
+                self.g_params = g2.init(
+                    jax.random.PRNGKey(_random_seed(config.weights)), self.model_cfg)
+            else:
+                from clip_glass_tpu.weights import convert_gpt2
+                if not os.path.exists(config.weights):
+                    raise FileNotFoundError(
+                        f"GPT-2 weights not found at {config.weights!r}")
+                self.g_params, self.model_cfg = convert_gpt2.load_torch_checkpoint(
+                    config.weights)
+            self.d_params = None
+            enc = get_gpt2_tokenizer()
+            self.init_tokens = np.asarray(enc.encode(self.config.init_text),
+                                          np.int32)
+        else:
+            raise ValueError(f"unknown model family {fam!r}")
+
+    def has_discriminator(self) -> bool:
+        return self.d_params is not None
+
+    # ------------------------------------------------------------ jittable pieces
+
+    def generate(self, X: jnp.ndarray):
+        """Genome matrix -> generated artifact (images [pop,3,H,W] in [0,1]
+        for txt2img; token ids [pop, T] for img2txt). Jittable."""
+        cfg = self.config
+        if cfg.model == "stylegan2":
+            (z,) = latent_mod.decode_stylegan2(X)
+            imgs = sg2.generator_apply(
+                self.g_params, z, self.model_cfg,
+                noise=self.noise, policy=self.policy)
+            return biggan_norm(imgs)
+        if cfg.model == "biggan":
+            z, cv = latent_mod.decode_biggan(X, cfg.dim_z)
+            imgs = bg.apply(self.g_params, z, cv, cfg.truncation,
+                            self.model_cfg, self.policy)
+            return biggan_norm(imgs)
+        if cfg.model == "gpt2":
+            (ids,) = latent_mod.decode_gpt2(X)
+            ctx = jnp.concatenate(
+                [ids, jnp.broadcast_to(jnp.asarray(self.init_tokens),
+                                       (ids.shape[0], len(self.init_tokens)))],
+                axis=1)
+            return g2.sample_sequence(
+                self.g_params, ctx, cfg.max_tokens_len, self.model_cfg,
+                temperature=0.7, top_k=40, sample=cfg.stochastic,
+                key=jax.random.PRNGKey(cfg.seed), policy=self.policy)
+        raise ValueError(cfg.model)
+
+    def _texts_to_clip_tokens(self, out_ids: np.ndarray):
+        """Host side of the img2txt round trip (reference models.py:32-42 +
+        generator.py:53-56): GPT-2 decode, cut at EOT, keep the init-text
+        prefix, 50-char truncate, CLIP re-tokenize; all-zero mask when any
+        text overflows the 77-token context (the reference zeroes the whole
+        batch)."""
+        texts = self.decode_texts(out_ids)
+        try:
+            toks = tokenize(texts)
+            ok = np.ones((len(texts),), np.bool_)
+        except RuntimeError:
+            toks = np.zeros((len(texts), CONTEXT_LENGTH), np.int32)
+            ok = np.zeros((len(texts),), np.bool_)
+        return toks.astype(np.int32), ok
+
+    def decode_texts(self, out_ids: np.ndarray):
+        """Token matrix -> caption strings (reference models.py:32-42)."""
+        enc = get_gpt2_tokenizer()
+        cfg = self.config
+        texts = []
+        for seq in np.asarray(out_ids).tolist():
+            if enc.eot_id in seq:
+                seq = seq[cfg.dim_z:seq.index(enc.eot_id)]
+            else:
+                seq = seq[cfg.dim_z:]
+            texts.append(enc.decode(seq)[:cfg.max_text_len])
+        return texts
+
+    def clip_similarity(self, generated):
+        """Jittable similarity vs the cached target features
+        (reference generator.py:43-59)."""
+        cfg = self.config
+        if cfg.task == "txt2img":
+            imgs = resize_bilinear(generated, self.clip_cfg.image_resolution)
+            feats = clip_model.encode_image(self.clip_params, imgs,
+                                            self.clip_cfg, self.policy)
+            return _cosine(feats, self.text_features)
+        # img2txt: host BPE round trip via pure_callback
+        pop = generated.shape[0]
+        toks, ok = jax.pure_callback(
+            self._texts_to_clip_tokens,
+            (jax.ShapeDtypeStruct((pop, CONTEXT_LENGTH), jnp.int32),
+             jax.ShapeDtypeStruct((pop,), jnp.bool_)),
+            generated)
+        feats = clip_model.encode_text(self.clip_params, toks,
+                                       self.clip_cfg, self.policy)
+        sim = _cosine(feats, self.image_features)
+        return jnp.where(ok, sim, 0.0)
+
+    def discriminate(self, images):
+        """[0,1] images -> D logits (reference generator.py:36-38 denorms
+        back to [-1,1] first)."""
+        return sg2.discriminator_apply(self.d_params, biggan_denorm(images),
+                                       self.model_cfg, policy=self.policy)
+
+    def eval_population(self, X: jnp.ndarray) -> jnp.ndarray:
+        """[pop, n_var] -> [pop, n_obj] fitness (reference problem.py:14-29):
+        F0 = -cosine similarity; F1 = relu(1 - D) hinge for *_d configs."""
+        generated = self.generate(X)
+        sim = self.clip_similarity(generated)
+        if self.config.n_obj == 2 and self.config.use_discriminator:
+            d = self.discriminate(generated)
+            hinge = jax.nn.relu(1.0 - d[:, 0])
+            return jnp.stack([-sim, hinge], axis=1).astype(jnp.float32)
+        return (-sim[:, None]).astype(jnp.float32)
+
+    # ------------------------------------------------------------ saving
+
+    def save(self, generated, path: str):
+        """Artifact dump (reference generator.py:63-72): image grid / single
+        image for txt2img, newline-joined captions for img2txt."""
+        if self.config.task == "txt2img":
+            from clip_glass_tpu.utils.image import save_grid
+            save_grid(np.asarray(generated), path)
+        else:
+            texts = self.decode_texts(np.asarray(generated))
+            with open(path, "w") as f:
+                f.write("\n".join(texts))
+
+
+def _cosine(a, b):
+    a32 = jnp.asarray(a, jnp.float32)
+    b32 = jnp.asarray(b, jnp.float32)
+    num = jnp.sum(a32 * b32, axis=-1)
+    den = jnp.linalg.norm(a32, axis=-1) * jnp.linalg.norm(b32, axis=-1)
+    return num / jnp.maximum(den, 1e-12)

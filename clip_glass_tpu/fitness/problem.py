@@ -1,0 +1,40 @@
+"""GenerationProblem: config -> jittable population-fitness function.
+
+Behavioral reference: reference problem.py:7-29. The reference's `_evaluate`
+rebuilds a latent module, moves numpy to torch, loops minibatches, and copies
+fitness back per generation; here `eval_fn` is a pure function the GA step
+jits and (optionally) shards over the population mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from clip_glass_tpu.fitness.generator import Generator
+
+
+class GenerationProblem:
+    def __init__(self, config, policy=None, clip_weights: str = "random:0",
+                 clip_cfg=None, model_cfg=None):
+        self.config = config
+        self.generator = Generator(config, policy=policy,
+                                   clip_weights=clip_weights,
+                                   clip_cfg=clip_cfg, model_cfg=model_cfg)
+
+    @property
+    def n_var(self) -> int:
+        return self.config.n_var
+
+    @property
+    def n_obj(self) -> int:
+        return self.config.n_obj
+
+    def eval_fn(self):
+        """The jittable [pop, n_var] -> [pop, n_obj] fitness (minimized)."""
+        return self.generator.eval_population
+
+    def make_algorithm(self):
+        from clip_glass_tpu.evolve.algorithm import make_algorithm
+        return make_algorithm(self.config, self.generator.eval_population)

@@ -11,6 +11,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin rewrites JAX_PLATFORMS to "axon,cpu" at import, so the
+# env var alone does NOT pin the backend; the config update does.
+jax.config.update("jax_platforms", "cpu")
+
 # Eager op-by-op dispatch costs ~1s/op compile in this environment; the
 # persistent cache makes repeated test runs (and repeated ops) cheap.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
