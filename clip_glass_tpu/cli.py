@@ -1,0 +1,179 @@
+"""CLI driver — the reference `run.py` contract on the TPU-native engine.
+
+Reference behavior mirrored (reference run.py):
+- flags --config --target --generations --save-each --tmp-folder (--device is
+  accepted for CLI compatibility; the backend comes from JAX) (run.py:15-24)
+- periodic artifact dumps `genetic-it-<N>.<jpg|txt>` every save-each
+  generations, final dump `genetic-it-final.*`, GA populations sorted by
+  fitness (run.py:29-51)
+- `genetic_result` pickle of {X, F, G, CV} (run.py:79-84)
+- Pareto scatter `F.jpg` for two-objective runs (run.py:86-89)
+- `ls_result` latent dump (run.py:92-101; npz of decoded latents here)
+- pseudo-weights/ASF decision -> `output.<jpg|txt>` (run.py:103-125)
+
+TPU-native additions: --pop-size/--seed overrides, --weights (incl.
+`random:<seed>` checkpoint-free mode), --resume (bit-exact search resume from
+the ga_state.npz checkpoint), --mesh to shard the population across devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="clip-glass-tpu")
+    p.add_argument("--device", type=str, default="tpu",
+                   help="accepted for reference-CLI parity; backend is JAX's")
+    p.add_argument("--config", type=str, default="DeepMindBigGAN512")
+    p.add_argument("--generations", type=int, default=500)
+    p.add_argument("--save-each", type=int, default=50)
+    p.add_argument("--tmp-folder", type=str, default="./tmp")
+    p.add_argument("--target", type=str,
+                   default="a wolf at night with the moon in the background")
+    p.add_argument("--pop-size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--weights", type=str, default=None,
+                   help="override config weights; 'random:<seed>' for random init")
+    p.add_argument("--clip-weights", type=str, default="random:0",
+                   help="path to a CLIP ViT-B/32 checkpoint, or 'random:<seed>'")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <tmp-folder>/ga_state.npz")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the population across all visible devices")
+    p.add_argument("--verbose", action="store_true", default=True)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model variants (smoke tests / CI; random weights)")
+    return p
+
+
+def _tinyfy(config):
+    """Shrink a config to the TINY model variants (CPU-runnable smoke mode)."""
+    from clip_glass_tpu.models.clip import model as clip_model
+    from clip_glass_tpu.models.stylegan2 import model as sg2
+    from clip_glass_tpu.models.biggan import model as bg
+    from clip_glass_tpu.models.gpt2 import model as g2
+
+    if config.model == "stylegan2":
+        return (config.replace(dim_z=32, n_var=32, weights="random:0"),
+                clip_model.TINY, sg2.TINY)
+    if config.model == "biggan":
+        return (config.replace(dim_z=16, num_classes=10, n_var=26,
+                               resolution=8, weights="random:0"),
+                clip_model.TINY, bg.TINY)
+    return (config.replace(dim_z=6, n_var=6, max_tokens_len=5,
+                           weights="random:0"),
+            clip_model.TINY, g2.TINY)
+
+
+def decode_latents_npz(config, X: np.ndarray):
+    """ls_result content (reference run.py:92-101 saves the latent module's
+    state dict; here: the decoded latent arrays)."""
+    import jax.numpy as jnp
+    from clip_glass_tpu.fitness import latent as L
+    Xj = jnp.asarray(X)
+    if config.latent == "biggan":
+        z, cv = L.decode_biggan(Xj, config.dim_z)
+        return {"z": np.asarray(z), "class_labels": np.asarray(cv)}
+    if config.latent == "stylegan2":
+        return {"z": np.asarray(Xj)}
+    return {"z": np.asarray(L.decode_gpt2(Xj)[0])}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    from clip_glass_tpu.config import get_config
+    from clip_glass_tpu.core.checkpoint import load_state, save_state
+    from clip_glass_tpu.evolve.algorithm import minimize
+    from clip_glass_tpu.evolve.decision import pick
+    from clip_glass_tpu.evolve.nds import non_dominated_rank
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+    from clip_glass_tpu.parallel import make_mesh, shard_state
+    from clip_glass_tpu.utils.plotting import save_scatter
+
+    config = get_config(args.config).replace(
+        target=args.target, tmp_folder=args.tmp_folder, seed=args.seed,
+        generations=args.generations, save_each=args.save_each)
+    if args.pop_size:
+        config = config.replace(pop_size=args.pop_size)
+    if args.weights:
+        config = config.replace(weights=args.weights)
+
+    clip_cfg = model_cfg = None
+    if args.tiny:
+        config, clip_cfg, model_cfg = _tinyfy(config)
+
+    os.makedirs(config.tmp_folder, exist_ok=True)
+    problem = GenerationProblem(config, clip_weights=args.clip_weights,
+                                clip_cfg=clip_cfg, model_cfg=model_cfg)
+    algorithm = problem.make_algorithm()
+    ext = "jpg" if config.task == "txt2img" else "txt"
+
+    mesh = make_mesh() if args.mesh else None
+
+    def save_callback(state):
+        gen = int(state.gen)
+        X = np.asarray(state.X)
+        if config.n_obj == 1:  # sorted by fitness (reference run.py:36-38)
+            X = X[np.argsort(np.asarray(state.F)[:, 0])]
+        generated = problem.generator.generate(jax.numpy.asarray(X))
+        name = (f"genetic-it-{gen}.{ext}" if gen < config.generations
+                else f"genetic-it-final.{ext}")
+        problem.generator.save(generated, os.path.join(config.tmp_folder, name))
+        save_state(state, config.tmp_folder, config.name)
+
+    state = load_state(config.tmp_folder) if args.resume else None
+    if state is None and args.resume:
+        print("no checkpoint found; starting fresh")
+    if state is None:
+        state = algorithm.init(jax.random.PRNGKey(config.seed))
+    if mesh is not None:
+        state = shard_state(state, mesh)
+
+    remaining = config.generations - int(state.gen)
+    res = minimize(algorithm, n_gen=max(remaining, 0),
+                   key=jax.random.PRNGKey(config.seed),
+                   callback=save_callback, save_each=config.save_each,
+                   verbose=args.verbose, state=state)
+
+    # ---- final artifacts (reference run.py:79-125)
+    if config.n_obj == 2:
+        rank = np.asarray(non_dominated_rank(jax.numpy.asarray(res.pop_F)))
+        opt = rank == 0
+        res_X, res_F = res.pop_X[opt], res.pop_F[opt]
+    else:
+        best = res.pop_F[:, 0].argmin()
+        res_X, res_F = res.pop_X[best], res.pop_F[best]
+
+    with open(os.path.join(config.tmp_folder, "genetic_result"), "wb") as f:
+        pickle.dump(dict(X=res_X, F=res_F, G=res.G, CV=res.CV), f)
+
+    if config.n_obj == 2:
+        save_scatter(res_F, os.path.join(config.tmp_folder, "F.jpg"),
+                     labels=("similarity", "discriminator"))
+
+    if config.n_obj == 1:
+        pop_sorted = res.pop_X[np.argsort(res.pop_F[:, 0])]
+        np.savez(os.path.join(config.tmp_folder, "ls_result"),
+                 **decode_latents_npz(config, pop_sorted))
+        X_best = np.atleast_2d(res_X)
+    else:
+        np.savez(os.path.join(config.tmp_folder, "ls_result"),
+                 **decode_latents_npz(config, res.pop_X))
+        idx = pick(res_F, (0, 1))
+        X_best = np.atleast_2d(np.atleast_2d(res_X)[idx])
+
+    generated = problem.generator.generate(jax.numpy.asarray(X_best))
+    problem.generator.save(generated,
+                           os.path.join(config.tmp_folder, f"output.{ext}"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

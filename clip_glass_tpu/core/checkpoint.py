@@ -1,0 +1,50 @@
+"""GA search checkpoint / resume.
+
+The reference's GA driver has NO resume path — only periodic artifact dumps
+and a final result pickle (reference run.py:29-51, 79-101; SURVEY.md §5.4).
+Here the full search state (population X, fitness F, PRNG key, generation
+counter) is a small pytree saved as npz every save cadence, making long
+searches preemption-safe: `run.py --resume` continues bit-exactly where the
+dump left off (same key stream, same population).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from clip_glass_tpu.evolve.algorithm import GAState
+
+STATE_FILE = "ga_state.npz"
+
+
+def save_state(state: GAState, folder: str, config_name: str = "") -> str:
+    os.makedirs(folder, exist_ok=True)
+    path = os.path.join(folder, STATE_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, X=np.asarray(state.X), F=np.asarray(state.F),
+                 key=np.asarray(state.key), gen=np.asarray(state.gen),
+                 config=np.asarray(config_name))
+    os.replace(tmp, path)  # atomic: never a torn checkpoint
+    return path
+
+
+def load_state(folder: str) -> Optional[GAState]:
+    path = os.path.join(folder, STATE_FILE)
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as d:
+        return GAState(X=jnp.asarray(d["X"]), F=jnp.asarray(d["F"]),
+                       key=jnp.asarray(d["key"]), gen=jnp.asarray(d["gen"]))
+
+
+def checkpoint_config_name(folder: str) -> Optional[str]:
+    path = os.path.join(folder, STATE_FILE)
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as d:
+        return str(d["config"]) if "config" in d else None

@@ -40,6 +40,42 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_clip_tp(clip_params, mesh: Mesh, axis: str = "model"):
+    """Megatron-style tensor parallelism for the CLIP towers over `axis`:
+    MLP c_fc column-split / c_proj row-split, attention QKV head-split /
+    out-proj row-split. GSPMD inserts the (single) psum per block. Gives the
+    scoring tower a model axis on 2-D meshes; the generator stays replicated
+    (its per-population batch parallelism dominates)."""
+    if axis not in mesh.axis_names:
+        return jax.device_put(clip_params, NamedSharding(mesh, P()))
+
+    def towers(tp):
+        rules = {
+            "mlp": {"c_fc_weight": P(None, None, axis), "c_fc_bias": P(None, axis),
+                    "c_proj_weight": P(None, axis, None), "c_proj_bias": P()},
+            "attn": {"in_proj_weight": P(None, None, axis), "in_proj_bias": P(None, axis),
+                     "out_proj_weight": P(None, axis, None), "out_proj_bias": P()},
+        }
+        out = {}
+        for k, v in tp.items():
+            if k == "blocks":
+                out[k] = {
+                    grp: {name: jax.device_put(arr, NamedSharding(mesh, rules.get(grp, {}).get(name, P())))
+                          for name, arr in sub.items()}
+                    for grp, sub in v.items()
+                }
+            else:
+                out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+        return out
+
+    return {
+        "visual": towers(clip_params["visual"]),
+        "text": towers(clip_params["text"]),
+        "logit_scale": jax.device_put(clip_params["logit_scale"],
+                                      NamedSharding(mesh, P())),
+    }
+
+
 def shard_state(state, mesh: Mesh):
     """Place a GAState on the mesh: X/F population-sharded, key/gen replicated."""
     pop = population_sharding(mesh)

@@ -27,7 +27,11 @@ class _PermissiveModule(types.ModuleType):
 def _stub(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
+    import importlib.machinery
     mod = _PermissiveModule(name)
+    # transformers probes availability via find_spec; a None __spec__ raises
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    mod.__version__ = "0.0.0"
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
