@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark: candidates scored per second per chip on the flagship workload.
+
+Workload = the BASELINE.md north-star: StyleGAN2_ffhq_d fitness generations —
+full-size config-f synthesis at 1024px + CLIP ViT-B/32 scoring +
+discriminator hinge, pop 16 (reference config.py:85-86), as complete NSGA-II
+generation steps (selection, SBX/PM variation, dedup, evaluation, survival)
+running as one jitted program per generation on the TPU.
+
+Baseline: the reference PyTorch fitness pass measured on this host
+(baseline_measured.json; no CUDA device exists in this environment, so the
+single-GPU reference number is unapproachable here — the recorded baseline is
+the same math on this host's CPU, 1 thread = 1 core).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+
+    # persistent compile cache: repeated bench runs skip the big compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from clip_glass_tpu.config import get_config
+    from clip_glass_tpu.evolve.algorithm import GAState
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+
+    pop = int(os.environ.get("BENCH_POP", "16"))
+    gens = int(os.environ.get("BENCH_GENS", "10"))
+    warmup = 2
+
+    config = get_config("StyleGAN2_ffhq_d").replace(
+        target="the face of a man with brown eyes",
+        weights="random:0", pop_size=pop, compute_dtype="bfloat16")
+    problem = GenerationProblem(config)
+    algorithm = problem.make_algorithm()
+
+    key = jax.random.PRNGKey(0)
+    state = algorithm.init(key)
+    jax.block_until_ready(state.F)
+
+    step = jax.jit(algorithm.step_fn(), donate_argnums=0)
+    for _ in range(warmup):
+        state = step(state)
+    jax.block_until_ready(state.X)
+
+    t0 = time.perf_counter()
+    for _ in range(gens):
+        state = step(state)
+    jax.block_until_ready(state.X)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    cand_per_sec_per_chip = pop * gens / dt / n_chips
+
+    baseline = None
+    bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "baseline_measured.json")
+    if os.path.exists(bl_path):
+        with open(bl_path) as f:
+            baseline = json.load(f).get("candidates_per_sec")
+
+    out = {
+        "metric": "candidates_scored_per_sec_per_chip (StyleGAN2_ffhq_d, 1024px, pop=16, full NSGA-II generations)",
+        "value": round(cand_per_sec_per_chip, 4),
+        "unit": "candidates/s/chip",
+        "vs_baseline": round(cand_per_sec_per_chip / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -18,12 +18,14 @@ import numpy as np
 SEP = "."
 
 
-def flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
-    """Nested dict -> {dotted.key: leaf}."""
+def flatten(tree, prefix: str = "") -> Dict[str, Any]:
+    """Nested dict/list -> {dotted.key: leaf}; list indices become keys, so
+    lists round-trip through unflatten as {'0': ..., '1': ...} dicts."""
     out = {}
-    for k, v in tree.items():
+    items = tree.items() if isinstance(tree, dict) else enumerate(tree)
+    for k, v in items:
         key = f"{prefix}{SEP}{k}" if prefix else str(k)
-        if isinstance(v, dict):
+        if isinstance(v, (dict, list, tuple)):
             out.update(flatten(v, key))
         else:
             out[key] = v

@@ -164,10 +164,16 @@ class Algorithm:
     algorithm: str = "ga"
 
     def init(self, key) -> GAState:
-        k_init, key = jax.random.split(key)
-        X0 = self.ops.sample(k_init, self.pop_size)
-        F0 = self.eval_fn(X0)
-        return GAState(X0, F0, key, jnp.int32(0))
+        # one jitted program: sampling + first evaluation (eager dispatch of
+        # the full fitness graph is prohibitively slow over remote backends)
+        @jax.jit
+        def _init(key):
+            k_init, key = jax.random.split(key)
+            X0 = self.ops.sample(k_init, self.pop_size)
+            F0 = self.eval_fn(X0)
+            return GAState(X0, F0, key, jnp.int32(0))
+
+        return _init(key)
 
     def step_fn(self) -> Callable:
         return make_step(self.ops, self.eval_fn, self.pop_size, self.algorithm)

@@ -71,8 +71,9 @@ class Generator:
         # ---- CLIP (reference generator.py:16: clip.load("ViT-B/32", jit=False))
         if _is_random(clip_weights):
             self.clip_cfg = clip_cfg or clip_model.VIT_B_32
-            self.clip_params = clip_model.init(
-                jax.random.PRNGKey(_random_seed(clip_weights)), self.clip_cfg)
+            self.clip_params = jax.jit(
+                lambda k: clip_model.init(k, self.clip_cfg)
+            )(jax.random.PRNGKey(_random_seed(clip_weights)))
         else:
             from clip_glass_tpu.weights import convert_clip
             self.clip_params, self.clip_cfg = convert_clip.load_torch_checkpoint(
@@ -108,9 +109,11 @@ class Generator:
                 self.model_cfg = self._model_cfg_override or sg2.CONFIG_F
                 key = jax.random.PRNGKey(_random_seed(config.weights))
                 kg, kd = jax.random.split(key)
-                self.g_params = sg2.generator_init(kg, self.model_cfg)
-                self.d_params = (sg2.discriminator_init(kd, self.model_cfg)
-                                 if config.use_discriminator else None)
+                self.g_params = jax.jit(
+                    lambda k: sg2.generator_init(k, self.model_cfg))(kg)
+                self.d_params = (jax.jit(
+                    lambda k: sg2.discriminator_init(k, self.model_cfg))(kd)
+                    if config.use_discriminator else None)
             else:
                 from clip_glass_tpu.weights import convert_stylegan2
                 gp = os.path.join(config.weights, "G.pth")
@@ -133,8 +136,8 @@ class Generator:
             if _is_random(config.weights):
                 self.model_cfg = self._model_cfg_override or bg.CONFIGS.get(
                     f"biggan-deep-{config.resolution}", bg.BIGGAN_DEEP_256)
-                self.g_params = bg.init(
-                    jax.random.PRNGKey(_random_seed(config.weights)), self.model_cfg)
+                self.g_params = jax.jit(lambda k: bg.init(k, self.model_cfg))(
+                    jax.random.PRNGKey(_random_seed(config.weights)))
             else:
                 from clip_glass_tpu.weights import convert_biggan
                 if os.path.exists(config.weights):
@@ -148,8 +151,8 @@ class Generator:
         elif fam == "gpt2":
             if _is_random(config.weights):
                 self.model_cfg = self._model_cfg_override or g2.GPT2_124M
-                self.g_params = g2.init(
-                    jax.random.PRNGKey(_random_seed(config.weights)), self.model_cfg)
+                self.g_params = jax.jit(lambda k: g2.init(k, self.model_cfg))(
+                    jax.random.PRNGKey(_random_seed(config.weights)))
             else:
                 from clip_glass_tpu.weights import convert_gpt2
                 if not os.path.exists(config.weights):

@@ -2,6 +2,8 @@ from clip_glass_tpu.models.biggan.model import (  # noqa: F401
     BIGGAN_DEEP_128,
     BIGGAN_DEEP_256,
     BIGGAN_DEEP_512,
+    CONFIGS,
+    TINY,
     BigGANConfig,
     apply,
     init,

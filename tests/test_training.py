@@ -1,0 +1,124 @@
+"""StyleGAN2 training subsystem tests: losses/penalties math, a short
+training run on the TINY model (losses finite, params move, EMA follows),
+lazy-reg scheduling, checkpoint save/discover/resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_glass_tpu.models.stylegan2 import model as sg2
+from clip_glass_tpu.training import losses
+from clip_glass_tpu.training.trainer import Trainer, TrainerConfig, _lazy_lr
+
+
+# ------------------------------------------------------------ losses
+
+def test_logistic_losses_values():
+    zeros = jnp.zeros((4, 1))
+    # softplus(0) = ln 2
+    np.testing.assert_allclose(float(losses.g_logistic_ns(zeros)), np.log(2), rtol=1e-6)
+    np.testing.assert_allclose(float(losses.d_logistic(zeros, zeros)),
+                               2 * np.log(2), rtol=1e-6)
+    assert float(losses.g_wgan(jnp.ones((4, 1)))) == -1.0
+    assert float(losses.d_wgan(jnp.ones((4, 1)), jnp.zeros((4, 1)))) == -1.0
+
+
+def test_r1_penalty_on_quadratic():
+    # D(x) = sum(x^2): grad = 2x, ||grad||^2 = 4 sum(x^2)
+    def d_apply(params, x):
+        return jnp.sum(jnp.square(x), axis=(1, 2, 3), keepdims=False)[:, None]
+
+    x = jnp.ones((2, 1, 2, 2))
+    pen = losses.r1_penalty(d_apply, {}, x, gamma=10.0)
+    np.testing.assert_allclose(float(pen), 10.0 * 0.5 * 4 * 4, rtol=1e-5)
+
+
+def test_wgan_gp_unit_gradient_is_zero_penalty():
+    # D(x) = sum(x) / sqrt(n): ||grad|| = 1 everywhere -> penalty 0
+    def d_apply(params, x):
+        n = x[0].size
+        return jnp.sum(x, axis=(1, 2, 3))[:, None] / jnp.sqrt(n)
+
+    x = jnp.ones((4, 1, 2, 2))
+    pen = losses.d_wgan_gp(d_apply, {}, x, x * 0.5, jax.random.PRNGKey(0))
+    assert float(pen) < 1e-6
+
+
+def test_lazy_lr_scaling():
+    lr, b1, b2 = _lazy_lr(2e-3, 0.0, 0.99, 16)
+    c = 16 / 17
+    np.testing.assert_allclose(lr, 2e-3 * c)
+    np.testing.assert_allclose(b2, 0.99 ** c)
+    assert _lazy_lr(1.0, 0.5, 0.9, 1) == (1.0, 0.5, 0.9)
+
+
+def test_path_length_reg_updates_avg():
+    cfg = sg2.TINY
+    params = jax.jit(lambda k: sg2.generator_init(k, cfg))(jax.random.PRNGKey(0))
+    dl = jnp.ones((2, cfg.num_latents, cfg.latent_size)) * 0.1
+
+    def synth(p, d):
+        return sg2.synthesis_apply(p["synthesis"], d, cfg, noise="none")
+
+    pen, new_avg = losses.path_length_reg(synth, params, dl,
+                                          jax.random.PRNGKey(1), jnp.zeros(()))
+    assert np.isfinite(float(pen))
+    assert float(new_avg) > 0.0
+
+
+# ------------------------------------------------------------ trainer
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    cfg = TrainerConfig(batch_size=4, checkpoint_every=0,
+                        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt")))
+    return Trainer(model_cfg=sg2.TINY, cfg=cfg)
+
+
+def _data(batch=4, res=16):
+    rng = np.random.default_rng(0)
+    while True:
+        yield rng.uniform(-1, 1, (batch, 3, res, res)).astype(np.float32)
+
+
+def test_training_steps_move_params(trainer):
+    # dlatent_avg takes no gradient; check a live weight
+    leaf = lambda p: p["mapping"]["dense"][0]["w"]
+    g0 = leaf(trainer.state.g_params).copy()
+    gs0 = leaf(trainer.state.gs_params).copy()
+    logs = trainer.train(_data(), iterations=3)
+    assert np.isfinite(float(logs["d_loss"]))
+    assert np.isfinite(float(logs["g_loss"]))
+    g1 = leaf(trainer.state.g_params)
+    gs1 = leaf(trainer.state.gs_params)
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))       # optimized
+    assert not np.allclose(np.asarray(gs0), np.asarray(gs1))     # EMA moved
+    # EMA lags the raw params
+    assert float(jnp.abs(gs1 - g0).max()) <= float(jnp.abs(g1 - g0).max()) + 1e-6
+    assert int(trainer.state.step) == 3
+
+
+def test_checkpoint_roundtrip_and_discovery(trainer, tmp_path):
+    root = str(tmp_path / "ck")
+    trainer.cfg.checkpoint_dir = root
+    folder = trainer.save_checkpoint()
+    assert Trainer.latest_checkpoint(root) == folder
+    step_before = int(trainer.state.step)
+    pl_before = float(trainer.state.pl_avg)
+    g_before = np.asarray(trainer.state.g_params["mapping"]["dense"][0]["w"])
+    # perturb, then restore
+    trainer.train(_data(), iterations=1)
+    trainer.load_checkpoint(folder)
+    assert int(trainer.state.step) == step_before
+    assert float(trainer.state.pl_avg) == pytest.approx(pl_before)
+    np.testing.assert_array_equal(
+        np.asarray(trainer.state.g_params["mapping"]["dense"][0]["w"]), g_before)
+
+
+def test_metric_registry(trainer):
+    trainer.register_metric("g_norm", lambda s: sum(
+        float(jnp.sum(jnp.square(x))) for x in jax.tree.leaves(s.g_params)))
+    vals = trainer.evaluate_metrics()
+    assert "g_norm" in vals and vals["g_norm"] > 0
