@@ -47,14 +47,15 @@ def main():
     state = algorithm.init(key)
     jax.block_until_ready(state.F)
 
+    ctx = algorithm.ctx
     step = jax.jit(algorithm.step_fn(), donate_argnums=0)
     for _ in range(warmup):
-        state = step(state)
+        state = step(state, ctx)
     jax.block_until_ready(state.X)
 
     t0 = time.perf_counter()
     for _ in range(gens):
-        state = step(state)
+        state = step(state, ctx)
     jax.block_until_ready(state.X)
     dt = time.perf_counter() - t0
 

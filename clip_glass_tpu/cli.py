@@ -116,13 +116,14 @@ def main(argv=None) -> int:
     ext = "jpg" if config.task == "txt2img" else "txt"
 
     mesh = make_mesh() if args.mesh else None
+    gen_fn = jax.jit(lambda X, ctx: problem.generator.generate(X, ctx))
 
     def save_callback(state):
         gen = int(state.gen)
         X = np.asarray(state.X)
         if config.n_obj == 1:  # sorted by fitness (reference run.py:36-38)
             X = X[np.argsort(np.asarray(state.F)[:, 0])]
-        generated = problem.generator.generate(jax.numpy.asarray(X))
+        generated = gen_fn(jax.numpy.asarray(X), problem.generator.bundle)
         name = (f"genetic-it-{gen}.{ext}" if gen < config.generations
                 else f"genetic-it-final.{ext}")
         problem.generator.save(generated, os.path.join(config.tmp_folder, name))

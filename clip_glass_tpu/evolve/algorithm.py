@@ -5,9 +5,11 @@ generation (reference problem.py:14-29, latent.py:38). Here one generation —
 tournament selection, crossover, mutation, duplicate elimination, fitness
 evaluation, survival — is a single jitted function over HBM-resident state,
 and `minimize` runs `save_each`-generation chunks under `lax.fori_loop` so a
-whole chunk is one dispatch. The fitness evaluator is injected as `eval_fn`
-([pop, n_var] -> [pop, n_obj]), which fitness/problem.py builds as a vmapped
-generate->CLIP pipeline.
+whole chunk is one dispatch. The fitness evaluator is injected as
+`eval_fn(X, ctx)` ([pop, n_var] -> [pop, n_obj]); `ctx` is the parameter
+bundle (CLIP + generator + discriminator weights, target features) threaded
+through the jit boundary explicitly — closing over it would embed hundreds
+of MB of weights as program constants.
 """
 
 from __future__ import annotations
@@ -105,13 +107,14 @@ def resample_duplicates(key, off: jnp.ndarray, pop_X: jnp.ndarray,
 
 def make_step(ops: Operators, eval_fn: Callable, pop_size: int,
               algorithm: str = "ga") -> Callable:
-    """One jittable generation: mating -> variation -> dedup -> eval -> survival."""
+    """One jittable generation: mating -> variation -> dedup -> eval ->
+    survival. `step(state, ctx)`; ctx is forwarded to eval_fn."""
     if pop_size % 2:
         raise ValueError("pop_size must be even")
     n_matings = pop_size // 2
     is_nsga2 = algorithm == "nsga2"
 
-    def step(state: GAState) -> GAState:
+    def step(state: GAState, ctx=None) -> GAState:
         key, k_sel, k_x, k_m, k_d = jax.random.split(state.key, 5)
         if is_nsga2:
             rank = non_dominated_rank(state.F)
@@ -125,7 +128,7 @@ def make_step(ops: Operators, eval_fn: Callable, pop_size: int,
         off = jnp.concatenate([o1, o2], axis=0)
         off = ops.mutate(k_m, off)
         off = resample_duplicates(k_d, off, state.X, ops.sample)
-        F_off = eval_fn(off)
+        F_off = eval_fn(off, ctx)
         X_all = jnp.concatenate([state.X, off], axis=0)
         F_all = jnp.concatenate([state.F, F_off], axis=0)
         if is_nsga2:
@@ -137,10 +140,11 @@ def make_step(ops: Operators, eval_fn: Callable, pop_size: int,
     return step
 
 
-def make_algorithm(config, eval_fn: Callable) -> "Algorithm":
+def make_algorithm(config, eval_fn: Callable, ctx=None) -> "Algorithm":
+    """eval_fn: (X, ctx) -> F."""
     ops = operators_for_config(config)
     return Algorithm(ops=ops, eval_fn=eval_fn, pop_size=config.pop_size,
-                     algorithm=config.algorithm)
+                     algorithm=config.algorithm, ctx=ctx)
 
 
 @dataclasses.dataclass
@@ -159,21 +163,22 @@ class Result:
 @dataclasses.dataclass
 class Algorithm:
     ops: Operators
-    eval_fn: Callable
+    eval_fn: Callable          # (X, ctx) -> F
     pop_size: int
     algorithm: str = "ga"
+    ctx: object = None         # parameter bundle, threaded through jit
 
     def init(self, key) -> GAState:
-        # one jitted program: sampling + first evaluation (eager dispatch of
-        # the full fitness graph is prohibitively slow over remote backends)
+        # one jitted program: sampling + first evaluation; ctx enters as an
+        # ARGUMENT so weights are jit inputs, never baked-in constants
         @jax.jit
-        def _init(key):
+        def _init(key, ctx):
             k_init, key = jax.random.split(key)
             X0 = self.ops.sample(k_init, self.pop_size)
-            F0 = self.eval_fn(X0)
+            F0 = self.eval_fn(X0, ctx)
             return GAState(X0, F0, key, jnp.int32(0))
 
-        return _init(key)
+        return _init(key, self.ctx)
 
     def step_fn(self) -> Callable:
         return make_step(self.ops, self.eval_fn, self.pop_size, self.algorithm)
@@ -182,9 +187,9 @@ class Algorithm:
     def _jit_chunk(self):
         step = self.step_fn()
 
-        @functools.partial(jax.jit, static_argnames="n_gens")
-        def run_chunk(state: GAState, n_gens: int) -> GAState:
-            return lax.fori_loop(0, n_gens, lambda _, s: step(s), state)
+        @functools.partial(jax.jit, static_argnames="n_gens", donate_argnums=0)
+        def run_chunk(state: GAState, ctx, n_gens: int) -> GAState:
+            return lax.fori_loop(0, n_gens, lambda _, s: step(s, ctx), state)
 
         return run_chunk
 
@@ -205,7 +210,7 @@ def minimize(algorithm: Algorithm, n_gen: int, key,
     done = 0
     while done < n_gen:
         chunk = min(save_each, n_gen - done)
-        state = run_chunk(state, chunk)
+        state = run_chunk(state, algorithm.ctx, chunk)
         done += chunk
         if verbose:
             F = jax.device_get(state.F)

@@ -171,20 +171,41 @@ class Generator:
         return self.d_params is not None
 
     # ------------------------------------------------------------ jittable pieces
+    #
+    # Every compute method threads the parameter `bundle` EXPLICITLY (omitted
+    # -> self.bundle). Closing over hundreds of MB of params would embed them
+    # as constants in the jitted program — catastrophic for compile payload
+    # size and HBM (params would be duplicated per-executable).
 
-    def generate(self, X: jnp.ndarray):
+    @property
+    def bundle(self):
+        """All device-resident state of the fitness program, as one pytree
+        to pass through jit boundaries."""
+        b = {"clip": self.clip_params, "g": self.g_params}
+        if self.d_params is not None:
+            b["d"] = self.d_params
+        if self.config.model == "stylegan2":
+            b["noise"] = self.noise
+        if self.text_features is not None:
+            b["target"] = self.text_features
+        else:
+            b["target"] = self.image_features
+        return b
+
+    def generate(self, X: jnp.ndarray, bundle=None):
         """Genome matrix -> generated artifact (images [pop,3,H,W] in [0,1]
         for txt2img; token ids [pop, T] for img2txt). Jittable."""
+        bundle = bundle if bundle is not None else self.bundle
         cfg = self.config
         if cfg.model == "stylegan2":
             (z,) = latent_mod.decode_stylegan2(X)
             imgs = sg2.generator_apply(
-                self.g_params, z, self.model_cfg,
-                noise=self.noise, policy=self.policy)
+                bundle["g"], z, self.model_cfg,
+                noise=list(bundle["noise"]), policy=self.policy)
             return biggan_norm(imgs)
         if cfg.model == "biggan":
             z, cv = latent_mod.decode_biggan(X, cfg.dim_z)
-            imgs = bg.apply(self.g_params, z, cv, cfg.truncation,
+            imgs = bg.apply(bundle["g"], z, cv, cfg.truncation,
                             self.model_cfg, self.policy)
             return biggan_norm(imgs)
         if cfg.model == "gpt2":
@@ -194,7 +215,7 @@ class Generator:
                                        (ids.shape[0], len(self.init_tokens)))],
                 axis=1)
             return g2.sample_sequence(
-                self.g_params, ctx, cfg.max_tokens_len, self.model_cfg,
+                bundle["g"], ctx, cfg.max_tokens_len, self.model_cfg,
                 temperature=0.7, top_k=40, sample=cfg.stochastic,
                 key=jax.random.PRNGKey(cfg.seed), policy=self.policy)
         raise ValueError(cfg.model)
@@ -227,15 +248,16 @@ class Generator:
             texts.append(enc.decode(seq)[:cfg.max_text_len])
         return texts
 
-    def clip_similarity(self, generated):
+    def clip_similarity(self, generated, bundle=None):
         """Jittable similarity vs the cached target features
         (reference generator.py:43-59)."""
+        bundle = bundle if bundle is not None else self.bundle
         cfg = self.config
         if cfg.task == "txt2img":
             imgs = resize_bilinear(generated, self.clip_cfg.image_resolution)
-            feats = clip_model.encode_image(self.clip_params, imgs,
+            feats = clip_model.encode_image(bundle["clip"], imgs,
                                             self.clip_cfg, self.policy)
-            return _cosine(feats, self.text_features)
+            return _cosine(feats, bundle["target"])
         # img2txt: host BPE round trip via pure_callback
         pop = generated.shape[0]
         toks, ok = jax.pure_callback(
@@ -243,24 +265,26 @@ class Generator:
             (jax.ShapeDtypeStruct((pop, CONTEXT_LENGTH), jnp.int32),
              jax.ShapeDtypeStruct((pop,), jnp.bool_)),
             generated)
-        feats = clip_model.encode_text(self.clip_params, toks,
+        feats = clip_model.encode_text(bundle["clip"], toks,
                                        self.clip_cfg, self.policy)
-        sim = _cosine(feats, self.image_features)
+        sim = _cosine(feats, bundle["target"])
         return jnp.where(ok, sim, 0.0)
 
-    def discriminate(self, images):
+    def discriminate(self, images, bundle=None):
         """[0,1] images -> D logits (reference generator.py:36-38 denorms
         back to [-1,1] first)."""
-        return sg2.discriminator_apply(self.d_params, biggan_denorm(images),
+        bundle = bundle if bundle is not None else self.bundle
+        return sg2.discriminator_apply(bundle["d"], biggan_denorm(images),
                                        self.model_cfg, policy=self.policy)
 
-    def eval_population(self, X: jnp.ndarray) -> jnp.ndarray:
+    def eval_population(self, X: jnp.ndarray, bundle=None) -> jnp.ndarray:
         """[pop, n_var] -> [pop, n_obj] fitness (reference problem.py:14-29):
         F0 = -cosine similarity; F1 = relu(1 - D) hinge for *_d configs."""
-        generated = self.generate(X)
-        sim = self.clip_similarity(generated)
+        bundle = bundle if bundle is not None else self.bundle
+        generated = self.generate(X, bundle)
+        sim = self.clip_similarity(generated, bundle)
         if self.config.n_obj == 2 and self.config.use_discriminator:
-            d = self.discriminate(generated)
+            d = self.discriminate(generated, bundle)
             hinge = jax.nn.relu(1.0 - d[:, 0])
             return jnp.stack([-sim, hinge], axis=1).astype(jnp.float32)
         return (-sim[:, None]).astype(jnp.float32)

@@ -32,9 +32,11 @@ class GenerationProblem:
         return self.config.n_obj
 
     def eval_fn(self):
-        """The jittable [pop, n_var] -> [pop, n_obj] fitness (minimized)."""
-        return self.generator.eval_population
+        """The jittable (X, ctx) -> [pop, n_obj] fitness (minimized)."""
+        gen = self.generator
+        return lambda X, ctx: gen.eval_population(X, ctx)
 
     def make_algorithm(self):
         from clip_glass_tpu.evolve.algorithm import make_algorithm
-        return make_algorithm(self.config, self.generator.eval_population)
+        return make_algorithm(self.config, self.eval_fn(),
+                              ctx=self.generator.bundle)

@@ -97,8 +97,8 @@ def test_sharded_population_search_runs_on_8_devices():
     state = algo.init(jax.random.PRNGKey(4))
     state = shard_state(state, mesh)
     step = jax.jit(algo.step_fn())
-    state = step(state)
-    state = step(state)
+    state = step(state, algo.ctx)
+    state = step(state, algo.ctx)
     F = np.asarray(state.F)
     assert F.shape == (8, 1)
     assert np.isfinite(F).all()
