@@ -47,16 +47,21 @@ def main():
     state = algorithm.init(key)
     jax.block_until_ready(state.F)
 
+    import numpy as np
+
     ctx = algorithm.ctx
     step = jax.jit(algorithm.step_fn(), donate_argnums=0)
     for _ in range(warmup):
         state = step(state, ctx)
-    jax.block_until_ready(state.X)
+    # NOTE: block_until_ready does NOT synchronize on the tunneled axon
+    # backend; host materialization is the only reliable fence.
+    float(np.asarray(state.F).sum())
 
     t0 = time.perf_counter()
     for _ in range(gens):
         state = step(state, ctx)
-    jax.block_until_ready(state.X)
+    # the dataflow chain through `state` forces all `gens` steps
+    float(np.asarray(state.F).sum())
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
