@@ -60,6 +60,10 @@ def fir(x, kernel2d, pad0: int, pad1: int, stride: int = 1):
 def upsample2x(x, filter_taps=(1, 3, 3, 1), gain: float = 1.0):
     """2x FIR upsample (reference stylegan2/modules.py:549-604): zero-stuff
     then filter with pad ((k-1+1)//2+1, (k-1)//2); kernel gain x4."""
+    from clip_glass_tpu.ops import pallas as _pk
+    if _pk.enabled() and len(filter_taps) == 4:
+        from clip_glass_tpu.ops.pallas.upfirdn2d import upsample2x_pallas
+        return upsample2x_pallas(x, tuple(filter_taps), gain)
     k2 = setup_filter_kernel(tuple(filter_taps), gain, up_factor=2)
     k = k2.shape[-1]
     pad = k - 1
