@@ -58,6 +58,12 @@ class CLIPTokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
+        self._id_cache: Dict[str, list] = {}
+        # native C++ merge core (tokenizers/native.py); None -> pure python
+        self._native = None
+        if os.environ.get("CLIP_GLASS_NATIVE_BPE", "1") == "1":
+            from clip_glass_tpu.tokenizers.native import get_native_merger
+            self._native = get_native_merger(self.encoder, self.bpe_ranks)
 
     @property
     def sot_id(self) -> int:
@@ -79,12 +85,24 @@ class CLIPTokenizer:
         self._cache[token] = out
         return out
 
+    def _token_ids(self, token: str) -> List[int]:
+        if token in self._id_cache:
+            return self._id_cache[token]
+        if self._native is not None and token not in ("<|startoftext|>", "<|endoftext|>"):
+            syms = [self.encoder[c] for c in token[:-1]] + \
+                   [self.encoder[token[-1] + "</w>"]]
+            out = self._native.apply(syms)
+        else:
+            out = [self.encoder[t] for t in self._bpe(token).split(" ")]
+        self._id_cache[token] = out
+        return out
+
     def encode(self, text: str) -> List[int]:
         ids: List[int] = []
         text = whitespace_clean(basic_clean(text)).lower()
         for token in pretokenize_clip(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
-            ids.extend(self.encoder[t] for t in self._bpe(token).split(" "))
+            ids.extend(self._token_ids(token))
         return ids
 
     def decode(self, ids: Sequence[int]) -> str:

@@ -33,6 +33,12 @@ class GPT2Tokenizer:
         merges = [tuple(line.split()) for line in bpe_data.split("\n")[1:-1]]
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self._cache: Dict[str, str] = {}
+        self._id_cache: Dict[str, List[int]] = {}
+        # native C++ merge core (tokenizers/native.py); None -> pure python
+        self._native = None
+        if os.environ.get("CLIP_GLASS_NATIVE_BPE", "1") == "1":
+            from clip_glass_tpu.tokenizers.native import get_native_merger
+            self._native = get_native_merger(self.encoder, self.bpe_ranks)
 
     @property
     def eot_id(self) -> int:
@@ -46,11 +52,21 @@ class GPT2Tokenizer:
         self._cache[token] = out
         return out
 
+    def _token_ids(self, token: str) -> List[int]:
+        if token in self._id_cache:
+            return self._id_cache[token]
+        if self._native is not None:
+            out = self._native.apply([self.encoder[c] for c in token])
+        else:
+            out = [self.encoder[t] for t in self._bpe(token).split(" ")]
+        self._id_cache[token] = out
+        return out
+
     def encode(self, text: str) -> List[int]:
         ids: List[int] = []
         for token in pretokenize_gpt2(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
-            ids.extend(self.encoder[t] for t in self._bpe(token).split(" "))
+            ids.extend(self._token_ids(token))
         return ids
 
     def decode(self, ids: List[int]) -> str:
