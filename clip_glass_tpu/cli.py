@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true", default=True)
     p.add_argument("--tiny", action="store_true",
                    help="tiny model variants (smoke tests / CI; random weights)")
+    p.add_argument("--profile", type=str, default="",
+                   help="write a jax.profiler device trace to this directory")
     return p
 
 
@@ -117,9 +119,12 @@ def main(argv=None) -> int:
 
     mesh = make_mesh() if args.mesh else None
     gen_fn = jax.jit(lambda X, ctx: problem.generator.generate(X, ctx))
+    from clip_glass_tpu.core.profiling import GenerationMeter, device_trace
+    meter = GenerationMeter(config.pop_size)
 
     def save_callback(state):
         gen = int(state.gen)
+        meter.update(0)  # rate computed from generation counter below
         X = np.asarray(state.X)
         if config.n_obj == 1:  # sorted by fitness (reference run.py:36-38)
             X = X[np.argsort(np.asarray(state.F)[:, 0])]
@@ -128,6 +133,10 @@ def main(argv=None) -> int:
                 else f"genetic-it-final.{ext}")
         problem.generator.save(generated, os.path.join(config.tmp_folder, name))
         save_state(state, config.tmp_folder, config.name)
+        meter._gens = gen
+        if args.verbose and meter.gens_per_sec > 0:
+            print(f"  rate: {meter.gens_per_sec:.2f} gen/s "
+                  f"({meter.candidates_per_sec:.1f} candidates/s)")
 
     state = load_state(config.tmp_folder) if args.resume else None
     if state is None and args.resume:
@@ -138,10 +147,11 @@ def main(argv=None) -> int:
         state = shard_state(state, mesh)
 
     remaining = config.generations - int(state.gen)
-    res = minimize(algorithm, n_gen=max(remaining, 0),
-                   key=jax.random.PRNGKey(config.seed),
-                   callback=save_callback, save_each=config.save_each,
-                   verbose=args.verbose, state=state)
+    with device_trace(args.profile):
+        res = minimize(algorithm, n_gen=max(remaining, 0),
+                       key=jax.random.PRNGKey(config.seed),
+                       callback=save_callback, save_each=config.save_each,
+                       verbose=args.verbose, state=state)
 
     # ---- final artifacts (reference run.py:79-125)
     if config.n_obj == 2:

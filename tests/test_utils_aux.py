@@ -1,0 +1,87 @@
+"""Auxiliary subsystem tests: profiling utilities, data pipeline, image
+grids, Pareto scatter, pytree npz round trip."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from clip_glass_tpu.core import pytree
+from clip_glass_tpu.core.profiling import GenerationMeter, Timer, ValueTracker
+from clip_glass_tpu.utils.data import ImageFolder, find_images, load_image
+from clip_glass_tpu.utils.image import make_grid, save_grid
+from clip_glass_tpu.utils.plotting import save_scatter
+
+
+def test_timer_formats():
+    with Timer("x") as t:
+        time.sleep(0.01)
+    assert t.seconds >= 0.01
+    assert Timer.format(2.5) == "2.500 s"
+    assert Timer.format(2.5e-3) == "2.500 ms"
+    assert "us" in Timer.format(5e-6)
+
+
+def test_value_tracker_ema():
+    v = ValueTracker(beta=0.5)
+    v.add("loss", 1.0)
+    v.add("loss", 0.0)
+    assert v.value("loss") == pytest.approx(0.5)
+    assert v.raw("loss") == 0.0
+    assert "loss=" in v.format()
+
+
+def test_generation_meter():
+    m = GenerationMeter(pop_size=16)
+    m.update(10)
+    time.sleep(0.01)
+    g = m.gens_per_sec
+    c = m.candidates_per_sec
+    assert g > 0
+    # the two reads happen at slightly different times; allow drift
+    assert c == pytest.approx(g * 16, rel=0.2)
+
+
+def test_image_folder_pipeline(tmp_path):
+    from PIL import Image
+    for i in range(3):
+        Image.fromarray((np.random.default_rng(i).uniform(0, 255, (20, 24, 3))
+                         ).astype(np.uint8)).save(tmp_path / f"img{i}.png")
+    assert len(find_images(str(tmp_path))) == 3
+    arr = load_image(str(tmp_path / "img0.png"), 16)
+    assert arr.shape == (3, 16, 16)
+    assert arr.min() >= -1.0 and arr.max() <= 1.0
+    ds = ImageFolder(str(tmp_path), resolution=16, batch_size=4, prefetch=False)
+    batch = next(iter(ds))
+    assert batch.shape == (4, 3, 16, 16)
+
+
+def test_image_folder_missing_dir(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ImageFolder(str(tmp_path / "empty"), 16, 2)
+
+
+def test_make_grid_layout():
+    imgs = np.zeros((5, 3, 4, 4), np.float32)
+    grid = make_grid(imgs, nrow=3, padding=1)
+    # 2 rows x 3 cols of 4px + padding
+    assert grid.shape == (3, 1 + 2 * 5, 1 + 3 * 5)
+
+
+def test_save_scatter_single_objective(tmp_path):
+    p = tmp_path / "f.jpg"
+    save_scatter(np.array([[0.1], [0.5]]), str(p))
+    assert p.exists()
+
+
+def test_pytree_npz_roundtrip_with_lists(tmp_path):
+    import jax.numpy as jnp
+    tree = {"a": jnp.ones((2,)), "blocks": [{"w": jnp.zeros((3,))},
+                                            {"w": jnp.ones((3,))}]}
+    path = str(tmp_path / "t.npz")
+    pytree.save_npz(path, tree)
+    loaded = pytree.load_npz(path)
+    np.testing.assert_array_equal(np.asarray(loaded["a"]), np.ones(2))
+    np.testing.assert_array_equal(np.asarray(loaded["blocks"]["1"]["w"]), np.ones(3))
+    assert pytree.n_params(tree) == 8
