@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Checkpoint conversion CLI — the counterpart of the reference's
+download-weights.sh + convert_from_tf (reference download-weights.sh:16-37):
+converts locally available reference checkpoints into this framework's npz
+pytrees. (This environment has no network egress; fetch checkpoints wherever
+you normally would, then convert.)
+
+Usage:
+  python scripts/convert_weights.py clip         ViT-B-32.pt          out.npz
+  python scripts/convert_weights.py stylegan2    <dir-with-G.pth>     out_dir
+  python scripts/convert_weights.py stylegan2-tf stylegan2-ffhq.pkl   out_dir
+  python scripts/convert_weights.py gpt2         gpt2-pytorch_model.bin out.npz
+  python scripts/convert_weights.py biggan       biggan-deep-256.bin  out.npz
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("kind", choices=["clip", "stylegan2", "stylegan2-tf",
+                                    "gpt2", "biggan"])
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--model-name", default="biggan-deep-256",
+                   help="biggan variant for the biggan kind")
+    args = p.parse_args()
+
+    from clip_glass_tpu.core import pytree
+
+    if args.kind == "clip":
+        from clip_glass_tpu.weights import convert_clip
+        params, cfg = convert_clip.load_torch_checkpoint(args.src)
+        pytree.save_npz(args.dst, params)
+        print(f"CLIP {cfg} -> {args.dst}")
+    elif args.kind == "gpt2":
+        from clip_glass_tpu.weights import convert_gpt2
+        params, cfg = convert_gpt2.load_torch_checkpoint(args.src)
+        pytree.save_npz(args.dst, params)
+        print(f"GPT-2 {cfg} -> {args.dst}")
+    elif args.kind == "biggan":
+        from clip_glass_tpu.weights import convert_biggan
+        params, cfg = convert_biggan.load_torch_checkpoint(args.src, args.model_name)
+        pytree.save_npz(args.dst, params)
+        print(f"BigGAN {args.model_name} -> {args.dst}")
+    elif args.kind == "stylegan2":
+        from clip_glass_tpu.weights import convert_stylegan2
+        os.makedirs(args.dst, exist_ok=True)
+        src_dir = args.src if os.path.isdir(args.src) else os.path.dirname(args.src)
+        for name in ("G.pth", "D.pth", "Gs.pth"):
+            path = os.path.join(src_dir, name)
+            if not os.path.exists(path):
+                continue
+            params, cfg, kind = convert_stylegan2.load_pth(path)
+            out = os.path.join(args.dst, name.replace(".pth", ".npz"))
+            pytree.save_npz(out, params)
+            print(f"{name} ({kind}, {cfg.resolution}px) -> {out}")
+    elif args.kind == "stylegan2-tf":
+        from clip_glass_tpu.weights import convert_stylegan2_tf
+        os.makedirs(args.dst, exist_ok=True)
+        nets = convert_stylegan2_tf.convert_pkl(args.src)
+        for key, val in nets.items():
+            if key in ("G", "Gs"):
+                params, cfg, noises = val
+                pytree.save_npz(os.path.join(args.dst, f"{key}.npz"), params)
+                pytree.save_npz(os.path.join(args.dst, f"{key}_noise.npz"),
+                                {str(i): n for i, n in enumerate(noises)})
+                print(f"{key} ({cfg.resolution}px) -> {args.dst}")
+            else:
+                params, cfg = val
+                pytree.save_npz(os.path.join(args.dst, "D.npz"), params)
+                print(f"D ({cfg.resolution}px) -> {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
