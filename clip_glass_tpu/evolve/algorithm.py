@@ -115,7 +115,7 @@ def make_step(ops: Operators, eval_fn: Callable, pop_size: int,
     is_nsga2 = algorithm == "nsga2"
 
     def step(state: GAState, ctx=None) -> GAState:
-        key, k_sel, k_x, k_m, k_d = jax.random.split(state.key, 5)
+        key, k_sel, k_x, k_m, k_d, k_eval = jax.random.split(state.key, 6)
         if is_nsga2:
             rank = non_dominated_rank(state.F)
             crowd = crowding_distance(state.F, rank)
@@ -128,7 +128,7 @@ def make_step(ops: Operators, eval_fn: Callable, pop_size: int,
         off = jnp.concatenate([o1, o2], axis=0)
         off = ops.mutate(k_m, off)
         off = resample_duplicates(k_d, off, state.X, ops.sample)
-        F_off = eval_fn(off, ctx)
+        F_off = eval_fn(off, ctx, k_eval)
         X_all = jnp.concatenate([state.X, off], axis=0)
         F_all = jnp.concatenate([state.F, F_off], axis=0)
         if is_nsga2:
@@ -141,7 +141,8 @@ def make_step(ops: Operators, eval_fn: Callable, pop_size: int,
 
 
 def make_algorithm(config, eval_fn: Callable, ctx=None) -> "Algorithm":
-    """eval_fn: (X, ctx) -> F."""
+    """eval_fn: (X, ctx, key) -> F (key: per-generation randomness
+    for stochastic fitness, e.g. GPT-2 sampling or random noise modes)."""
     ops = operators_for_config(config)
     return Algorithm(ops=ops, eval_fn=eval_fn, pop_size=config.pop_size,
                      algorithm=config.algorithm, ctx=ctx)
@@ -163,7 +164,7 @@ class Result:
 @dataclasses.dataclass
 class Algorithm:
     ops: Operators
-    eval_fn: Callable          # (X, ctx) -> F
+    eval_fn: Callable          # (X, ctx, key) -> F
     pop_size: int
     algorithm: str = "ga"
     ctx: object = None         # parameter bundle, threaded through jit
@@ -173,9 +174,9 @@ class Algorithm:
         # ARGUMENT so weights are jit inputs, never baked-in constants
         @jax.jit
         def _init(key, ctx):
-            k_init, key = jax.random.split(key)
+            k_init, k_eval, key = jax.random.split(key, 3)
             X0 = self.ops.sample(k_init, self.pop_size)
-            F0 = self.eval_fn(X0, ctx)
+            F0 = self.eval_fn(X0, ctx, k_eval)
             return GAState(X0, F0, key, jnp.int32(0))
 
         return _init(key, self.ctx)

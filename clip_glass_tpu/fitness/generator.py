@@ -192,9 +192,11 @@ class Generator:
             b["target"] = self.image_features
         return b
 
-    def generate(self, X: jnp.ndarray, bundle=None):
+    def generate(self, X: jnp.ndarray, bundle=None, key=None):
         """Genome matrix -> generated artifact (images [pop,3,H,W] in [0,1]
-        for txt2img; token ids [pop, T] for img2txt). Jittable."""
+        for txt2img; token ids [pop, T] for img2txt). Jittable. `key` feeds
+        stochastic paths (GPT-2 sampling when config.stochastic, reference
+        gpt2/sample.py:31-33)."""
         bundle = bundle if bundle is not None else self.bundle
         cfg = self.config
         if cfg.model == "stylegan2":
@@ -217,7 +219,8 @@ class Generator:
             return g2.sample_sequence(
                 bundle["g"], ctx, cfg.max_tokens_len, self.model_cfg,
                 temperature=0.7, top_k=40, sample=cfg.stochastic,
-                key=jax.random.PRNGKey(cfg.seed), policy=self.policy)
+                key=key if key is not None else jax.random.PRNGKey(cfg.seed),
+                policy=self.policy)
         raise ValueError(cfg.model)
 
     def _texts_to_clip_tokens(self, out_ids: np.ndarray):
@@ -277,11 +280,11 @@ class Generator:
         return sg2.discriminator_apply(bundle["d"], biggan_denorm(images),
                                        self.model_cfg, policy=self.policy)
 
-    def eval_population(self, X: jnp.ndarray, bundle=None) -> jnp.ndarray:
+    def eval_population(self, X: jnp.ndarray, bundle=None, key=None) -> jnp.ndarray:
         """[pop, n_var] -> [pop, n_obj] fitness (reference problem.py:14-29):
         F0 = -cosine similarity; F1 = relu(1 - D) hinge for *_d configs."""
         bundle = bundle if bundle is not None else self.bundle
-        generated = self.generate(X, bundle)
+        generated = self.generate(X, bundle, key)
         sim = self.clip_similarity(generated, bundle)
         if self.config.n_obj == 2 and self.config.use_discriminator:
             d = self.discriminate(generated, bundle)

@@ -32,9 +32,9 @@ class GenerationProblem:
         return self.config.n_obj
 
     def eval_fn(self):
-        """The jittable (X, ctx) -> [pop, n_obj] fitness (minimized)."""
+        """The jittable (X, ctx, key) -> [pop, n_obj] fitness (minimized)."""
         gen = self.generator
-        return lambda X, ctx: gen.eval_population(X, ctx)
+        return lambda X, ctx, key=None: gen.eval_population(X, ctx, key)
 
     def make_algorithm(self):
         from clip_glass_tpu.evolve.algorithm import make_algorithm

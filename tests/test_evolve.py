@@ -250,7 +250,7 @@ def test_ga_minimizes_sphere():
     cfg = get_config("StyleGAN2_ffhq_nod").replace(pop_size=32, n_var=16)
     ops = operators_for_config(cfg)
 
-    def eval_fn(X, ctx=None):
+    def eval_fn(X, ctx=None, key=None):
         return jnp.sum(X ** 2, axis=1, keepdims=True)
 
     algo = Algorithm(ops=ops, eval_fn=eval_fn, pop_size=32, algorithm="ga")
@@ -264,7 +264,7 @@ def test_nsga2_finds_pareto_front():
     cfg = get_config("StyleGAN2_ffhq_d").replace(pop_size=32, n_var=8)
     ops = operators_for_config(cfg)
 
-    def eval_fn(X, ctx=None):
+    def eval_fn(X, ctx=None, key=None):
         x = X[:, 0]
         return jnp.stack([x ** 2, (x - 2.0) ** 2], axis=1)
 
@@ -281,7 +281,7 @@ def test_step_is_jittable_and_improves():
     cfg = get_config("DeepMindBigGAN256").replace(pop_size=16)
     ops = operators_for_config(cfg)
 
-    def eval_fn(X, ctx=None):
+    def eval_fn(X, ctx=None, key=None):
         z = X[:, :128]
         return jnp.sum((z - 0.5) ** 2, axis=1, keepdims=True)
 
