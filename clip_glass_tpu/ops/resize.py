@@ -20,9 +20,15 @@ CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
 def resize_bilinear(images: jnp.ndarray, size: int = 224) -> jnp.ndarray:
-    """images: [B, C, H, W] -> [B, C, size, size]."""
+    """images: [B, C, H, W] -> [B, C, size, size].
+
+    antialias=False is load-bearing: torch F.interpolate (and kornia) do NOT
+    lowpass-filter on downscale, and the fitness path downsamples 1024px ->
+    224px — with antialiasing the CLIP inputs (and hence fitness) diverge
+    from the reference by ~0.4 in pixel values."""
     B, C = images.shape[:2]
-    return jax.image.resize(images, (B, C, size, size), method="bilinear")
+    return jax.image.resize(images, (B, C, size, size), method="bilinear",
+                            antialias=False)
 
 
 def clip_preprocess_pil(pil_image, size: int = 224) -> np.ndarray:

@@ -38,6 +38,12 @@ def save_image(image_chw: np.ndarray, path: str):
     to_pil(image_chw).save(path)
 
 
+def show_grid(images: np.ndarray, nrow: int = 8):
+    """Display a batch grid (reference utils.py:9-12 uses matplotlib; this
+    opens the PIL viewer — headless environments should use save_grid)."""
+    to_pil(make_grid(np.asarray(images, np.float32), nrow=nrow)).show()
+
+
 def save_grid(images: np.ndarray, path: str, nrow: int = 8):
     """Save a batch as a grid jpg (reference utils.py:5-7); single images
     are saved directly (reference generator.py:64-67)."""
