@@ -106,15 +106,21 @@ def resample_duplicates(key, off: jnp.ndarray, pop_X: jnp.ndarray,
 
 
 def make_step(ops: Operators, eval_fn: Callable, pop_size: int,
-              algorithm: str = "ga") -> Callable:
-    """One jittable generation: mating -> variation -> dedup -> eval ->
-    survival. `step(state, ctx)`; ctx is forwarded to eval_fn."""
+              algorithm: str = "ga", host_eval: bool = False) -> Callable:
+    """One generation: mating -> variation -> dedup -> eval -> survival.
+    `step(state, ctx)`; ctx is forwarded to eval_fn.
+
+    host_eval=False: the whole step is jittable (eval_fn must be traceable).
+    host_eval=True: eval_fn runs on the host between two jitted halves —
+    required for the img2txt BPE round trip on backends without
+    pure_callback support (core/backend.py).
+    """
     if pop_size % 2:
         raise ValueError("pop_size must be even")
     n_matings = pop_size // 2
     is_nsga2 = algorithm == "nsga2"
 
-    def step(state: GAState, ctx=None) -> GAState:
+    def _vary(state: GAState):
         key, k_sel, k_x, k_m, k_d, k_eval = jax.random.split(state.key, 6)
         if is_nsga2:
             rank = non_dominated_rank(state.F)
@@ -128,7 +134,9 @@ def make_step(ops: Operators, eval_fn: Callable, pop_size: int,
         off = jnp.concatenate([o1, o2], axis=0)
         off = ops.mutate(k_m, off)
         off = resample_duplicates(k_d, off, state.X, ops.sample)
-        F_off = eval_fn(off, ctx, k_eval)
+        return off, k_eval, key
+
+    def _survive(state: GAState, off, F_off, key) -> GAState:
         X_all = jnp.concatenate([state.X, off], axis=0)
         F_all = jnp.concatenate([state.F, F_off], axis=0)
         if is_nsga2:
@@ -137,15 +145,30 @@ def make_step(ops: Operators, eval_fn: Callable, pop_size: int,
             X_new, F_new = fitness_survival(X_all, F_all, pop_size)
         return GAState(X_new, F_new, key, state.gen + 1)
 
+    if not host_eval:
+        def step(state: GAState, ctx=None) -> GAState:
+            off, k_eval, key = _vary(state)
+            return _survive(state, off, eval_fn(off, ctx, k_eval), key)
+        return step
+
+    vary_jit = jax.jit(_vary)
+    survive_jit = jax.jit(_survive)
+
+    def step(state: GAState, ctx=None) -> GAState:
+        off, k_eval, key = vary_jit(state)
+        F_off = eval_fn(off, ctx, k_eval)
+        return survive_jit(state, off, F_off, key)
+
     return step
 
 
-def make_algorithm(config, eval_fn: Callable, ctx=None) -> "Algorithm":
+def make_algorithm(config, eval_fn: Callable, ctx=None,
+                   host_eval: bool = False) -> "Algorithm":
     """eval_fn: (X, ctx, key) -> F (key: per-generation randomness
     for stochastic fitness, e.g. GPT-2 sampling or random noise modes)."""
     ops = operators_for_config(config)
     return Algorithm(ops=ops, eval_fn=eval_fn, pop_size=config.pop_size,
-                     algorithm=config.algorithm, ctx=ctx)
+                     algorithm=config.algorithm, ctx=ctx, host_eval=host_eval)
 
 
 @dataclasses.dataclass
@@ -168,8 +191,15 @@ class Algorithm:
     pop_size: int
     algorithm: str = "ga"
     ctx: object = None         # parameter bundle, threaded through jit
+    host_eval: bool = False    # eval_fn runs on host between jitted halves
 
     def init(self, key) -> GAState:
+        if self.host_eval:
+            k_init, k_eval, key = jax.random.split(key, 3)
+            X0 = jax.jit(self.ops.sample, static_argnums=1)(k_init, self.pop_size)
+            F0 = self.eval_fn(X0, self.ctx, k_eval)
+            return GAState(X0, F0, key, jnp.int32(0))
+
         # one jitted program: sampling + first evaluation; ctx enters as an
         # ARGUMENT so weights are jit inputs, never baked-in constants
         @jax.jit
@@ -182,11 +212,18 @@ class Algorithm:
         return _init(key, self.ctx)
 
     def step_fn(self) -> Callable:
-        return make_step(self.ops, self.eval_fn, self.pop_size, self.algorithm)
+        return make_step(self.ops, self.eval_fn, self.pop_size,
+                         self.algorithm, host_eval=self.host_eval)
 
     @functools.cached_property
     def _jit_chunk(self):
         step = self.step_fn()
+        if self.host_eval:
+            def run_chunk(state: GAState, ctx, n_gens: int) -> GAState:
+                for _ in range(n_gens):
+                    state = step(state, ctx)
+                return state
+            return run_chunk
 
         @functools.partial(jax.jit, static_argnames="n_gens", donate_argnums=0)
         def run_chunk(state: GAState, ctx, n_gens: int) -> GAState:

@@ -280,6 +280,34 @@ class Generator:
         return sg2.discriminator_apply(bundle["d"], biggan_denorm(images),
                                        self.model_cfg, policy=self.policy)
 
+    @property
+    def needs_host_eval(self) -> bool:
+        """img2txt requires the host BPE round trip; on backends without
+        pure_callback support (the axon TPU tunnel) the evaluation must be
+        staged: jitted generate -> host tokenize -> jitted score."""
+        from clip_glass_tpu.core.backend import supports_host_callbacks
+        return self.config.task == "img2txt" and not supports_host_callbacks()
+
+    def host_eval_population(self, X, bundle=None, key=None) -> jnp.ndarray:
+        """Host-staged img2txt fitness: same math as eval_population, with
+        the BPE round trip between two jitted programs instead of a
+        pure_callback inside one."""
+        bundle = bundle if bundle is not None else self.bundle
+        if not hasattr(self, "_host_gen_jit"):
+            self._host_gen_jit = jax.jit(
+                lambda X, b, k: self.generate(X, b, k))
+            def _score(toks, ok, b):
+                feats = clip_model.encode_text(b["clip"], toks,
+                                               self.clip_cfg, self.policy)
+                sim = jnp.where(ok, _cosine(feats, b["target"]), 0.0)
+                return (-sim[:, None]).astype(jnp.float32)
+            self._host_score_jit = jax.jit(_score)
+        ids = self._host_gen_jit(X, bundle,
+                                 key if key is not None
+                                 else jax.random.PRNGKey(self.config.seed))
+        toks, ok = self._texts_to_clip_tokens(np.asarray(ids))
+        return self._host_score_jit(jnp.asarray(toks), jnp.asarray(ok), bundle)
+
     def eval_population(self, X: jnp.ndarray, bundle=None, key=None) -> jnp.ndarray:
         """[pop, n_var] -> [pop, n_obj] fitness (reference problem.py:14-29):
         F0 = -cosine similarity; F1 = relu(1 - D) hinge for *_d configs."""

@@ -38,5 +38,11 @@ class GenerationProblem:
 
     def make_algorithm(self):
         from clip_glass_tpu.evolve.algorithm import make_algorithm
+        gen = self.generator
+        if gen.needs_host_eval:
+            return make_algorithm(
+                self.config,
+                lambda X, ctx, key=None: gen.host_eval_population(X, ctx, key),
+                ctx=gen.bundle, host_eval=True)
         return make_algorithm(self.config, self.eval_fn(),
-                              ctx=self.generator.bundle)
+                              ctx=gen.bundle)
