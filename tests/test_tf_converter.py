@@ -24,7 +24,10 @@ ref_models, _ = import_reference_stylegan2()
 def _ref_convert_from_tf():
     import importlib
     import sys
-    _stub("requests")
+    try:
+        import requests  # noqa: F401  (real package, if installed)
+    except ImportError:
+        _stub("requests")
     sys.modules["stylegan2"].models = ref_models
     import stylegan2.utils as _u  # ensure loaded under synthetic pkg
     sys.modules["stylegan2"].utils = _u
