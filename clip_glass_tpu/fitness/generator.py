@@ -280,6 +280,22 @@ class Generator:
         return sg2.discriminator_apply(bundle["d"], biggan_denorm(images),
                                        self.model_cfg, policy=self.policy)
 
+    def refresh_targets(self):
+        """Recompute the cached target features (reference generator.py:22-27)
+        after params were replaced (weight injection, sharding, hot reload)."""
+        if self.config.task == "txt2img":
+            tokens = jnp.asarray(tokenize([self.config.target]))
+            self.text_features = jax.jit(
+                lambda p, t: clip_model.encode_text(p, t, self.clip_cfg, self.policy)
+            )(self.clip_params, tokens)
+        else:
+            from PIL import Image
+            img = clip_preprocess_pil(Image.open(self.config.target),
+                                      self.clip_cfg.image_resolution)
+            self.image_features = jax.jit(
+                lambda p, im: clip_model.encode_image(p, im, self.clip_cfg, self.policy)
+            )(self.clip_params, jnp.asarray(img))
+
     @property
     def needs_host_eval(self) -> bool:
         """img2txt requires the host BPE round trip; on backends without
