@@ -33,13 +33,17 @@ def main():
     from clip_glass_tpu.evolve.algorithm import GAState
     from clip_glass_tpu.fitness.problem import GenerationProblem
 
-    pop = int(os.environ.get("BENCH_POP", "16"))
+    name = os.environ.get("BENCH_CONFIG", "StyleGAN2_ffhq_d")
+    config = get_config(name)
+    pop = int(os.environ.get("BENCH_POP", str(config.pop_size
+                                              if name != "StyleGAN2_ffhq_d" else 16)))
     gens = int(os.environ.get("BENCH_GENS", "10"))
     warmup = 2
 
-    config = get_config("StyleGAN2_ffhq_d").replace(
-        target="the face of a man with brown eyes",
-        weights="random:0", pop_size=pop, compute_dtype="bfloat16")
+    target = ("examples/gpt2_images/dog.jpeg" if config.task == "img2txt"
+              else "the face of a man with brown eyes")
+    config = config.replace(target=target, weights="random:0", pop_size=pop,
+                            compute_dtype="bfloat16")
     problem = GenerationProblem(config)
     algorithm = problem.make_algorithm()
 
@@ -50,7 +54,8 @@ def main():
     import numpy as np
 
     ctx = algorithm.ctx
-    step = jax.jit(algorithm.step_fn(), donate_argnums=0)
+    step = (algorithm.step_fn() if algorithm.host_eval
+            else jax.jit(algorithm.step_fn(), donate_argnums=0))
     for _ in range(warmup):
         state = step(state, ctx)
     # NOTE: block_until_ready does NOT synchronize on the tunneled axon
@@ -74,8 +79,10 @@ def main():
         with open(bl_path) as f:
             baseline = json.load(f).get("candidates_per_sec")
 
+    desc = (f"{name}, pop={pop}, full "
+            f"{'NSGA-II' if config.algorithm == 'nsga2' else 'GA'} generations")
     out = {
-        "metric": "candidates_scored_per_sec_per_chip (StyleGAN2_ffhq_d, 1024px, pop=16, full NSGA-II generations)",
+        "metric": f"candidates_scored_per_sec_per_chip ({desc})",
         "value": round(cand_per_sec_per_chip, 4),
         "unit": "candidates/s/chip",
         "vs_baseline": round(cand_per_sec_per_chip / baseline, 2) if baseline else None,
