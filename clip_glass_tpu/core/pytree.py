@@ -7,7 +7,6 @@ pytrees (no module framework), which makes torch-checkpoint import
 
 from __future__ import annotations
 
-import io
 import os
 from typing import Any, Dict
 

@@ -22,7 +22,6 @@ TPU-native differences:
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Optional
 
 import jax
@@ -36,7 +35,7 @@ from clip_glass_tpu.models import gpt2 as g2
 from clip_glass_tpu.models.clip import model as clip_model
 from clip_glass_tpu.models.stylegan2 import model as sg2
 from clip_glass_tpu.ops.resize import clip_preprocess_pil, resize_bilinear
-from clip_glass_tpu.tokenizers import get_clip_tokenizer, get_gpt2_tokenizer, tokenize
+from clip_glass_tpu.tokenizers import get_gpt2_tokenizer, tokenize
 
 CONTEXT_LENGTH = 77
 

@@ -8,9 +8,7 @@ jits and (optionally) shards over the population mesh axis.
 
 from __future__ import annotations
 
-from typing import Optional
 
-import jax
 
 from clip_glass_tpu.fitness.generator import Generator
 

@@ -15,7 +15,7 @@ tested. BN is eval-mode and folded to scale/bias at conversion.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

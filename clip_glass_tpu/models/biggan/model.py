@@ -30,7 +30,6 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from clip_glass_tpu.core.dtypes import Policy, FP32
 

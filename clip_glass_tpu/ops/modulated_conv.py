@@ -21,7 +21,6 @@ tests/test_stylegan2_parity.py).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 from jax import lax

@@ -26,7 +26,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from clip_glass_tpu.models.stylegan2 import model as sg2

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import unicodedata
 from functools import lru_cache
-from typing import Dict, Iterable, List, Tuple
+from typing import Dict, List, Tuple
 
 
 @lru_cache()

@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import threading
 import queue
-from typing import Iterator, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 

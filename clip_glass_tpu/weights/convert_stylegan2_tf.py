@@ -21,7 +21,6 @@ The .pkl is unpickled with dnnlib/tflib class stubs (convert_from_tf.py:41-45).
 
 from __future__ import annotations
 
-import io
 import math
 import pickle
 import re
