@@ -252,7 +252,7 @@ def minimize(algorithm: Algorithm, n_gen: int, key,
         done += chunk
         if verbose:
             F = jax.device_get(state.F)
-            print(f"gen {done:5d}  best={F.min(0)}  mean={F.mean(0)}")
+            print(f"gen {int(state.gen):5d}  best={F.min(0)}  mean={F.mean(0)}")
         if callback is not None:
             callback(state)
 
