@@ -1,0 +1,93 @@
+"""Checkpoint ingestion through the REAL on-disk formats: the reference's
+{name, kwargs, state_dict} .pth files (written by its own save machinery,
+reference stylegan2/models.py:160-209) and the convert_weights.py CLI."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_glass_tpu.core.dtypes import FP32
+from clip_glass_tpu.models.stylegan2 import model as jsg2
+from clip_glass_tpu.weights import convert_stylegan2
+
+from reference_oracle import import_reference_stylegan2, randomize_module
+
+torch = pytest.importorskip("torch")
+ref_models, _ = import_reference_stylegan2()
+
+CH = (16, 16, 24)
+CFG = jsg2.SG2Config(latent_size=32, mapping_layers=3, channels=CH,
+                     mbstd_group_size=2)
+
+
+@pytest.fixture(scope="module")
+def pth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("weights")
+    g_map = ref_models.GeneratorMapping(latent_size=32, num_layers=3, lr_mul=0.01)
+    g_syn = ref_models.GeneratorSynthesis(latent_size=32, channels=list(CH),
+                                          base_shape=(4, 4))
+    G = ref_models.Generator(G_mapping=g_map, G_synthesis=g_syn)
+    randomize_module(G, seed=41, std=0.5)
+    D = ref_models.Discriminator(channels=list(CH), mbstd_group_size=2,
+                                 base_shape=(4, 4))
+    randomize_module(D, seed=42, std=0.5)
+    # write the REAL reference serialization format
+    ref_models.save(G.eval(), str(d / "G.pth"))
+    ref_models.save(D.eval(), str(d / "D.pth"))
+    return d, G, D
+
+
+def test_load_pth_generator_matches_reference(pth_dir):
+    d, G, _ = pth_dir
+    params, cfg, kind = convert_stylegan2.load_pth(str(d / "G.pth"))
+    assert kind == "G"
+    assert cfg.channels == tuple(CH)
+    assert cfg.latent_size == 32 and cfg.mapping_layers == 3
+
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(2, 32)).astype(np.float32)
+    noises = [rng.normal(size=s).astype(np.float32) for s in cfg.noise_shapes()]
+    with torch.no_grad():
+        G(torch.from_numpy(z))
+        G.static_noise(noise_tensors=[torch.from_numpy(n)[None, None]
+                                      for n in noises])
+        want = G(torch.from_numpy(z)).numpy()
+    got = np.asarray(jsg2.generator_apply(
+        params, jnp.asarray(z), cfg, noise=[jnp.asarray(n) for n in noises],
+        policy=FP32))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_load_pth_discriminator_matches_reference(pth_dir):
+    d, _, D = pth_dir
+    params, cfg, kind = convert_stylegan2.load_pth(str(d / "D.pth"))
+    assert kind == "D"
+    rng = np.random.default_rng(1)
+    imgs = rng.uniform(-1, 1, (4, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = D(torch.from_numpy(imgs)).numpy()
+    got = np.asarray(jsg2.discriminator_apply(params, jnp.asarray(imgs), cfg,
+                                              policy=FP32))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_convert_weights_cli(pth_dir, tmp_path):
+    d, _, _ = pth_dir
+    out = tmp_path / "converted"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "scripts/convert_weights.py", "stylegan2",
+         str(d), str(out)],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-500:]
+    assert (out / "G.npz").exists() and (out / "D.npz").exists()
+    from clip_glass_tpu.core import pytree
+    loaded = pytree.load_npz(str(out / "G.npz"))
+    assert "mapping" in loaded and "synthesis" in loaded
