@@ -48,3 +48,28 @@ def checkpoint_config_name(folder: str) -> Optional[str]:
         return None
     with np.load(path) as d:
         return str(d["config"]) if "config" in d else None
+
+
+# ---------------------------------------------------------------- orbax
+
+def save_state_orbax(state: GAState, folder: str) -> str:
+    """Orbax backend (async-capable, multi-host-aware) for the same GA state;
+    npz remains the default for its zero-dependency portability."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(folder, "orbax_state"))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, state._asdict(), force=True)
+    return path
+
+
+def load_state_orbax(folder: str) -> Optional[GAState]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(folder, "orbax_state"))
+    if not os.path.exists(path):
+        return None
+    ckptr = ocp.PyTreeCheckpointer()
+    d = ckptr.restore(path)
+    return GAState(X=jnp.asarray(d["X"]), F=jnp.asarray(d["F"]),
+                   key=jnp.asarray(d["key"]), gen=jnp.asarray(d["gen"]))
