@@ -39,6 +39,10 @@ from clip_glass_tpu.training import losses
 
 @dataclasses.dataclass
 class TrainerConfig:
+    """Training hyperparameters. Overlayable from JSON files — the analogue
+    of the reference's yaml ConfigArgumentParser (stylegan2/utils.py:152-181;
+    yaml is not available in this environment, JSON carries the same role).
+    """
     batch_size: int = 4
     g_lr: float = 2e-3
     d_lr: float = 2e-3
@@ -55,6 +59,18 @@ class TrainerConfig:
     checkpoint_dir: str = "./checkpoints"
     checkpoint_every: int = 10000  # in seen images (reference train.py:668-674)
     seed: int = 0
+
+    @classmethod
+    def from_json(cls, path: str, **overrides) -> "TrainerConfig":
+        with open(path) as f:
+            data = json.load(f)
+        data.update(overrides)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in fields})
+
+    def to_json(self, path: str):
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=1)
 
 
 class TrainState(NamedTuple):

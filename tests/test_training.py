@@ -122,3 +122,12 @@ def test_metric_registry(trainer):
         float(jnp.sum(jnp.square(x))) for x in jax.tree.leaves(s.g_params)))
     vals = trainer.evaluate_metrics()
     assert "g_norm" in vals and vals["g_norm"] > 0
+
+
+def test_trainer_config_json_overlay(tmp_path):
+    cfg = TrainerConfig(batch_size=6, g_lr=1e-3)
+    p = str(tmp_path / "cfg.json")
+    cfg.to_json(p)
+    loaded = TrainerConfig.from_json(p, d_lr=5e-4)
+    assert loaded.batch_size == 6 and loaded.g_lr == 1e-3
+    assert loaded.d_lr == 5e-4  # override wins
