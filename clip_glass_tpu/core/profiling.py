@@ -97,6 +97,37 @@ class GenerationMeter:
         return self.gens_per_sec * self.pop_size
 
 
+class ProgressWriter:
+    """Minimal progress reporter (reference stylegan2/utils.py:536-633 wraps
+    tqdm/notebook displays; tqdm is unavailable here, so this writes
+    carriage-return progress lines to stdout)."""
+
+    def __init__(self, total: int, label: str = "", stream=None):
+        import sys
+        self.total = total
+        self.label = label
+        self.n = 0
+        self._stream = stream or sys.stdout
+        self._t0 = time.perf_counter()
+
+    def update(self, n: int = 1, **values):
+        self.n += n
+        dt = time.perf_counter() - self._t0
+        rate = self.n / dt if dt > 0 else 0.0
+        extra = "  ".join(f"{k}={v:.4g}" for k, v in values.items())
+        pct = 100.0 * self.n / max(self.total, 1)
+        self._stream.write(
+            f"\r{self.label} {self.n}/{self.total} ({pct:.0f}%) "
+            f"{rate:.2f} it/s  {extra}")
+        self._stream.flush()
+        if self.n >= self.total:
+            self._stream.write("\n")
+
+    def close(self):
+        if self.n < self.total:
+            self._stream.write("\n")
+
+
 @contextlib.contextmanager
 def device_trace(logdir: Optional[str]):
     """jax.profiler trace context; no-op when logdir is falsy."""

@@ -85,3 +85,15 @@ def test_pytree_npz_roundtrip_with_lists(tmp_path):
     np.testing.assert_array_equal(np.asarray(loaded["a"]), np.ones(2))
     np.testing.assert_array_equal(np.asarray(loaded["blocks"]["1"]["w"]), np.ones(3))
     assert pytree.n_params(tree) == 8
+
+
+def test_progress_writer(capsys):
+    import io
+    from clip_glass_tpu.core.profiling import ProgressWriter
+    buf = io.StringIO()
+    pw = ProgressWriter(total=3, label="gen", stream=buf)
+    pw.update(1, best=0.5)
+    pw.update(2)
+    out = buf.getvalue()
+    assert "3/3 (100%)" in out and "best=0.5" in out
+    assert out.endswith("\n")
