@@ -164,12 +164,31 @@ def conv2d(x, w, *, stride=1):
     return _conv(x, w, stride=stride, pad0=pad0, pad1=pad1)
 
 
-def conv2d_down(x, w, *, filter_taps=(1, 3, 3, 1)):
-    """Fused FIR + stride-2 conv (reference ConvDownLayer, pad_once=True,
+def conv2d_down(x, w, *, filter_taps=(1, 3, 3, 1), fuse: bool = False):
+    """FIR + stride-2 conv (reference ConvDownLayer, pad_once=True,
     stylegan2/modules.py:1197-1232): FIR pad = (fk-2)+(k-1), split
-    ((pad+1)//2, pad//2), then stride-2 VALID conv."""
+    ((pad+1)//2, pad//2), then stride-2 VALID conv.
+
+    fuse=True composes the depthwise FIR and the conv into ONE exact
+    (k+fk-1)-tap stride-2 conv (correlation composition
+    C[u] = sum_{t+s=u} fir[s] w[t]), removing the full-resolution FIR
+    intermediate at 4x the conv MACs. Measured on a v5e (ffhq_d D, pop 16):
+    90.8 ms vs 79.5 ms for the two-op default — at these narrow channel
+    counts the extra MACs cost more than the saved HBM pass, so the default
+    stays unfused (same verdict as the other reformulation experiments:
+    XLA's native conv paths win on this workload)."""
     k = w.shape[0]
     fk = setup_filter_kernel(tuple(filter_taps), gain=1.0, up_factor=1)
     pad = (fk.shape[-1] - 2) + (k - 1)
-    y = fir(x, fk, pad0=(pad + 1) // 2, pad1=pad // 2)
-    return _conv(y, w, stride=2)
+    pad0, pad1 = (pad + 1) // 2, pad // 2
+    if not fuse:
+        y = fir(x, fk, pad0=pad0, pad1=pad1)
+        return _conv(y, w, stride=2)
+    # composite kernel: full 2-D convolution of fir with each w[:,:,i,o]
+    fkj = jnp.asarray(fk, w.dtype)
+    kk = k + fk.shape[-1] - 1
+    C = jnp.zeros((kk, kk) + w.shape[2:], w.dtype)
+    for s1 in range(fk.shape[0]):
+        for s2 in range(fk.shape[1]):
+            C = C.at[s1:s1 + k, s2:s2 + k].add(fkj[s1, s2] * w)
+    return _conv(x, C, stride=2, pad0=pad0, pad1=pad1)

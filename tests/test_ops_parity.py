@@ -167,3 +167,13 @@ def test_polyphase_up_matches_default(rng):
     a = np.asarray(mc.modulated_conv2d_up(x, w, s, demodulate=True))
     b = np.asarray(mc.modulated_conv2d_up_polyphase(x, w, s, demodulate=True))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("ksize", [3, 1])
+def test_fused_down_conv_matches_default(rng, ksize):
+    """The composed FIR+conv single-kernel form is exact vs the default."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(ksize, ksize, 6, 10)).astype(np.float32))
+    a = np.asarray(mc.conv2d_down(x, w, fuse=False))
+    b = np.asarray(mc.conv2d_down(x, w, fuse=True))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
