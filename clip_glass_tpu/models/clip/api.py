@@ -21,12 +21,33 @@ from clip_glass_tpu.models.clip import model as clip_model
 from clip_glass_tpu.ops.resize import clip_preprocess_pil
 from clip_glass_tpu.tokenizers import tokenize  # noqa: F401  (re-export)
 
-# reference clip/clip.py:18-21 lists these names
-AVAILABLE_MODELS = ("RN50", "ViT-B/32")
+# reference clip/clip.py:17-21: model registry; the sha256 of each official
+# checkpoint is embedded in its download URL and verified after download
+# (clip/clip.py:24-53). No egress here — the hashes validate local files.
+MODEL_SHA256 = {
+    "RN50": "afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762",
+    "ViT-B/32": "40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af",
+}
+AVAILABLE_MODELS = tuple(MODEL_SHA256)
 
 
 def available_models():
     return list(AVAILABLE_MODELS)
+
+
+def verify_checkpoint(path: str, model_name: str) -> bool:
+    """sha256-check a local checkpoint against the official hash
+    (reference clip/clip.py:45-53)."""
+    import hashlib
+
+    expected = MODEL_SHA256.get(model_name)
+    if expected is None:
+        raise KeyError(f"unknown model {model_name!r}; see available_models()")
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest() == expected
 
 
 @dataclasses.dataclass

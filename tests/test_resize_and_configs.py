@@ -65,3 +65,12 @@ def test_biggan_config_details():
     c = get_config("DeepMindBigGAN512")
     assert c.dim_z == 128 and c.num_classes == 1000
     assert c.truncation == 1.0 and c.resolution == 512
+
+def test_clip_checkpoint_hash_verification(tmp_path):
+    from clip_glass_tpu.models.clip.api import available_models, verify_checkpoint
+    assert available_models() == ["RN50", "ViT-B/32"]
+    p = tmp_path / "fake.pt"
+    p.write_bytes(b"not a checkpoint")
+    assert verify_checkpoint(str(p), "ViT-B/32") is False
+    with pytest.raises(KeyError):
+        verify_checkpoint(str(p), "ViT-L/99")
