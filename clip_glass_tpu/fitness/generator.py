@@ -323,10 +323,46 @@ class Generator:
         toks, ok = self._texts_to_clip_tokens(np.asarray(ids))
         return self._host_score_jit(jnp.asarray(toks), jnp.asarray(ok), bundle)
 
+    @property
+    def _s2d_active(self) -> bool:
+        """The StyleGAN2 fitness pipeline runs end-to-end in the
+        space-to-depth domain (ops/s2d.py) when the model's top level
+        qualifies: synthesis emits [B, H/2, W/2, 12], the discriminator and
+        the CLIP resize consume it directly, and the full-resolution image
+        never materializes in HBM (2.5x measured on the 1024px level)."""
+        if self.config.model != "stylegan2":
+            return False
+        cfg = self.model_cfg
+        return sg2._s2d_supported(cfg) and cfg.resolution >= cfg.s2d_min_res
+
+    def _eval_stylegan2_s2d(self, X, bundle, key) -> jnp.ndarray:
+        """s2d-domain fitness: decode -> synthesis(s2d) -> norm -> phase-aware
+        224px resize -> CLIP; D consumes the s2d image for the hinge."""
+        from clip_glass_tpu.ops.s2d import resize_bilinear_from_s2d
+
+        (z,) = latent_mod.decode_stylegan2(X)
+        img = sg2.generator_apply(bundle["g"], z, self.model_cfg,
+                                  noise=list(bundle["noise"]),
+                                  policy=self.policy, output_s2d=True)
+        img = biggan_norm(img)
+        i224 = resize_bilinear_from_s2d(img, self.clip_cfg.image_resolution)
+        feats = clip_model.encode_image(bundle["clip"], i224,
+                                        self.clip_cfg, self.policy)
+        sim = _cosine(feats, bundle["target"])
+        if self.config.n_obj == 2 and self.config.use_discriminator:
+            d = sg2.discriminator_apply(bundle["d"], biggan_denorm(img),
+                                        self.model_cfg, policy=self.policy,
+                                        input_s2d=True)
+            hinge = jax.nn.relu(1.0 - d[:, 0])
+            return jnp.stack([-sim, hinge], axis=1).astype(jnp.float32)
+        return (-sim[:, None]).astype(jnp.float32)
+
     def eval_population(self, X: jnp.ndarray, bundle=None, key=None) -> jnp.ndarray:
         """[pop, n_var] -> [pop, n_obj] fitness (reference problem.py:14-29):
         F0 = -cosine similarity; F1 = relu(1 - D) hinge for *_d configs."""
         bundle = bundle if bundle is not None else self.bundle
+        if self._s2d_active:
+            return self._eval_stylegan2_s2d(X, bundle, key)
         generated = self.generate(X, bundle, key)
         sim = self.clip_similarity(generated, bundle)
         if self.config.n_obj == 2 and self.config.use_discriminator:

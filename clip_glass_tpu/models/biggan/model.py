@@ -167,14 +167,19 @@ def init(key, cfg: BigGANConfig = BIGGAN_DEEP_256):
 
 def _interp_stats(means, variances, truncation: float, n_stats: int):
     """Running stats are recorded for truncation values linspace(0,1,n_stats);
-    linearly interpolate to the requested (static) truncation."""
-    idx = truncation * (n_stats - 1)
-    lo = int(math.floor(idx))
-    rest = idx - lo
-    if rest == 0.0:
+    combine the two neighbors exactly the way `pytorch_pretrained_biggan`'s
+    BigGANBatchNorm does: `coef, i = math.modf(truncation * (n_stats-1))`,
+    `stat = stats[i]*coef + stats[i+1]*(1-coef)`. NOTE the package weights the
+    LOWER grid point by the FRACTIONAL part — inverted relative to an ordinary
+    lerp — and we replicate that verbatim for checkpoint parity (the quirk is
+    invisible at the reference's truncation=1.0, which lands on the grid;
+    reference config.py:42,64)."""
+    coef, lo = math.modf(truncation * (n_stats - 1))
+    lo = int(lo)
+    if coef == 0.0:
         return means[lo], variances[lo]
-    return (means[lo] * (1 - rest) + means[lo + 1] * rest,
-            variances[lo] * (1 - rest) + variances[lo + 1] * rest)
+    return (means[lo] * coef + means[lo + 1] * (1 - coef),
+            variances[lo] * coef + variances[lo + 1] * (1 - coef))
 
 
 def _cond_bn_apply(p, x, cond, truncation, cfg, policy: Policy):

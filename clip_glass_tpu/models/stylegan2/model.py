@@ -60,6 +60,12 @@ class SG2Config:
     modulate_data_out: bool = True
     noise: bool = True
     eps: float = 1e-8
+    # Levels with output resolution >= this run in the space-to-depth
+    # execution domain (ops/s2d.py): [B,H,W,C] stored as [B,H/2,W/2,4C],
+    # exact phase-composed kernels, full-res tensors never materialized.
+    # 1024 = only config-f's top (3-32 channel) level, where the plain
+    # layout runs at ~7% of the HBM roofline on TPU. 2**30 disables.
+    s2d_min_res: int = 1024
 
     @property
     def n_blocks(self) -> int:
@@ -240,10 +246,24 @@ def _noise_list(cfg: SG2Config, batch: int, noise, key):
     return [jax.random.normal(k, s) for k, s in zip(keys, shapes)]
 
 
+def _s2d_supported(cfg: SG2Config) -> bool:
+    return cfg.kernel_size == 3 and len(cfg.filter_taps) == 4
+
+
 def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
-                    noise="random", noise_key=None, policy: Policy = FP32):
+                    noise="random", noise_key=None, policy: Policy = FP32,
+                    output_s2d: bool = False):
     """dlatents: [B, num_latents, D] -> images [B, C, H, W] in [-1, 1]
-    (reference stylegan2/models.py:969-1014)."""
+    (reference stylegan2/models.py:969-1014).
+
+    Levels with output resolution >= cfg.s2d_min_res execute in the
+    space-to-depth domain (ops/s2d.py) — same math, phase-composed kernels,
+    no full-resolution tensors. With output_s2d=True the final image is
+    returned in that form: [B, H/2, W/2, 12] NHWC phase-major (the fitness
+    path feeds it to the s2d discriminator/resize without ever interleaving).
+    """
+    from clip_glass_tpu.ops import s2d as s2d_ops
+
     B = dlatents.shape[0]
     dl = policy.cast_compute(dlatents)
     noises = _noise_list(cfg, B, noise, noise_key)
@@ -251,54 +271,104 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
     x = jnp.broadcast_to(policy.cast_compute(params["const"])[None],
                          (B,) + params["const"].shape)
     y = None
+    x_s2d = y_s2d = False
+    res = cfg.base_size
     layer_idx = 0
     noise_idx = 0
     blocks = cfg.block_channels()
+    taps = tuple(cfg.filter_taps)
     for bi, (in_ch, out_ch, up, n_layers) in enumerate(blocks):
+        if up:
+            res *= 2
+        use_s2d = _s2d_supported(cfg) and res >= cfg.s2d_min_res
         bp = params["blocks"][bi]
         for li in range(n_layers):
             lp = bp["layers"][li]
             lat = dl[:, layer_idx + li]
             style = style_from_latent(lat, policy.cast_compute(lp["style"]["w"]),
                                       policy.cast_compute(lp["style"]["b"]))
-            w = policy.cast_compute(lp["w"])
             if up and li == 0:
-                x = modulated_conv2d_up(x, w, style, demodulate=cfg.demodulate,
-                                        filter_taps=tuple(cfg.filter_taps),
-                                        eps=cfg.eps)
+                if use_s2d:
+                    if x_s2d:  # s2d(res/2) -> s2d(res): re-enter from plain
+                        x = s2d_ops.un_s2d(x)
+                    x = s2d_ops.s2d_modulated_conv2d_up(
+                        x, lp["w"], style, demodulate=cfg.demodulate,
+                        filter_taps=taps, eps=cfg.eps)
+                    x_s2d = True
+                else:
+                    x = modulated_conv2d_up(x, policy.cast_compute(lp["w"]),
+                                            style, demodulate=cfg.demodulate,
+                                            filter_taps=taps, eps=cfg.eps)
             else:
-                x = modulated_conv2d(x, w, style, demodulate=cfg.demodulate,
-                                     eps=cfg.eps)
+                if use_s2d and not x_s2d:
+                    x = s2d_ops.s2d(x)
+                    x_s2d = True
+                if x_s2d:
+                    x = s2d_ops.s2d_modulated_conv2d(
+                        x, lp["w"], style, demodulate=cfg.demodulate,
+                        eps=cfg.eps)
+                else:
+                    x = modulated_conv2d(x, policy.cast_compute(lp["w"]),
+                                         style, demodulate=cfg.demodulate,
+                                         eps=cfg.eps)
             nz = noises[noise_idx]
             if nz is not None:
-                x = x + (policy.cast_compute(lp["noise_scale"])
-                         * policy.cast_compute(nz)[None, :, :, None])
+                scale = policy.cast_compute(lp["noise_scale"])
+                if x_s2d:
+                    nz_s = s2d_ops.s2d_hw(policy.cast_compute(nz))
+                    Bs, Hh, Wh, C4 = x.shape
+                    x = (x.reshape(Bs, Hh, Wh, 4, C4 // 4)
+                         + scale * nz_s[None, :, :, :, None]
+                         ).reshape(Bs, Hh, Wh, C4)
+                else:
+                    x = x + scale * policy.cast_compute(nz)[None, :, :, None]
             noise_idx += 1
-            x = bias_act(x, policy.cast_compute(lp["b"]), act="lrelu")
+            b = policy.cast_compute(lp["b"])
+            x = bias_act(x, s2d_ops.tile_channels(b) if x_s2d else b,
+                         act="lrelu")
         layer_idx += n_layers
 
         if y is not None:
-            y = upsample2x(y, tuple(cfg.filter_taps))
+            if x_s2d:
+                if y_s2d:  # s2d(res/2) -> s2d(res): re-enter from plain
+                    y = s2d_ops.un_s2d(y)
+                y = s2d_ops.s2d_upsample2x(y, taps)
+                y_s2d = True
+            else:
+                y = upsample2x(y, taps)
         rp = params["to_rgb"][bi]
         lat_idx = min(layer_idx, cfg.num_latents - 1)
         if cfg.modulate_data_out:
             style = style_from_latent(dl[:, lat_idx],
                                       policy.cast_compute(rp["style"]["w"]),
                                       policy.cast_compute(rp["style"]["b"]))
-            t = modulated_conv2d(x, policy.cast_compute(rp["w"]), style,
-                                 demodulate=False, eps=cfg.eps)
+            if x_s2d:
+                t = s2d_ops.s2d_modulated_conv2d(x, rp["w"], style,
+                                                 demodulate=False, eps=cfg.eps)
+            else:
+                t = modulated_conv2d(x, policy.cast_compute(rp["w"]), style,
+                                     demodulate=False, eps=cfg.eps)
         else:
-            t = conv2d(x, policy.cast_compute(rp["w"]))
-        t = bias_act(t, policy.cast_compute(rp["b"]), act="linear")
+            t = (s2d_ops.s2d_conv2d(x, rp["w"]) if x_s2d
+                 else conv2d(x, policy.cast_compute(rp["w"])))
+        rb = policy.cast_compute(rp["b"])
+        t = bias_act(t, s2d_ops.tile_channels(rb) if x_s2d else rb,
+                     act="linear")
         y = t if y is None else y + t
+        y_s2d = x_s2d
 
+    if output_s2d:
+        return y if y_s2d else s2d_ops.s2d(y)
+    if y_s2d:
+        y = s2d_ops.un_s2d(y)
     return jnp.transpose(y, (0, 3, 1, 2))  # NHWC -> NCHW (reference layout)
 
 
 def generator_apply(params, latents, cfg: SG2Config = CONFIG_F,
                     labels=None, truncation_psi: float = 1.0,
                     truncation_cutoff: Optional[int] = None,
-                    noise="random", noise_key=None, policy: Policy = FP32):
+                    noise="random", noise_key=None, policy: Policy = FP32,
+                    output_s2d: bool = False):
     """Full G: z -> mapping -> broadcast to num_latents -> (truncate) ->
     synthesis (reference stylegan2/models.py:326-482). The CLIP-GLaSS search
     path calls G(z) with no truncation configured (reference models.py:108-118;
@@ -308,29 +378,69 @@ def generator_apply(params, latents, cfg: SG2Config = CONFIG_F,
     dlatents = truncate(dlatents, params["dlatent_avg"], truncation_psi,
                         truncation_cutoff)
     return synthesis_apply(params["synthesis"], dlatents, cfg,
-                           noise=noise, noise_key=noise_key, policy=policy)
+                           noise=noise, noise_key=noise_key, policy=policy,
+                           output_s2d=output_s2d)
 
 
 def discriminator_apply(params, images, cfg: SG2Config = CONFIG_F,
-                        labels=None, policy: Policy = FP32):
+                        labels=None, policy: Policy = FP32,
+                        input_s2d: bool = False):
     """images: [B, C, H, W] in [-1, 1] -> score logits [B, 1]
-    (reference stylegan2/models.py:1193-1230)."""
-    x = policy.cast_compute(jnp.transpose(images, (0, 2, 3, 1)))  # NHWC
-    fr = params["from_rgb"]
-    x = conv2d(x, policy.cast_compute(fr["w"]))
-    x = bias_act(x, policy.cast_compute(fr["b"]), act="lrelu")
+    (reference stylegan2/models.py:1193-1230).
 
+    input_s2d=True: `images` arrives as the s2d NHWC tensor produced by
+    synthesis_apply(output_s2d=True) — [B, H/2, W/2, 12] phase-major — and
+    the levels at resolution >= cfg.s2d_min_res run in the s2d domain
+    (fromRGB / conv0 on phase-composed kernels, the down convs folding back
+    to the plain lattice), so the full-res image never materializes."""
+    from clip_glass_tpu.ops import s2d as s2d_ops
+
+    taps = tuple(cfg.filter_taps)
     res_scale = 1.0 / math.sqrt(2.0)
+    if input_s2d:
+        x = policy.cast_compute(images)  # NHWC s2d, phys res = H/2
+        res = 2 * images.shape[1]
+    else:
+        x = policy.cast_compute(jnp.transpose(images, (0, 2, 3, 1)))  # NHWC
+        res = images.shape[2]
+    x_s2d = input_s2d
+
+    fr = params["from_rgb"]
+    if x_s2d:
+        x = s2d_ops.s2d_conv2d(x, fr["w"])
+        x = bias_act(x, s2d_ops.tile_channels(policy.cast_compute(fr["b"])),
+                     act="lrelu")
+    else:
+        x = conv2d(x, policy.cast_compute(fr["w"]))
+        x = bias_act(x, policy.cast_compute(fr["b"]), act="lrelu")
+
     for bp in params["blocks"]:
+        use_s2d = x_s2d and _s2d_supported(cfg) and res >= cfg.s2d_min_res
+        if x_s2d and not use_s2d:
+            x = s2d_ops.un_s2d(x)
+            x_s2d = False
         inp = x
+        if use_s2d:
+            x = s2d_ops.s2d_conv2d(x, bp["conv0"]["w"])
+            x = bias_act(x, s2d_ops.tile_channels(
+                policy.cast_compute(bp["conv0"]["b"])), act="lrelu")
+            x = s2d_ops.s2d_conv2d_down(x, bp["conv1"]["w"], filter_taps=taps)
+            x = bias_act(x, policy.cast_compute(bp["conv1"]["b"]), act="lrelu")
+            proj = s2d_ops.s2d_conv2d_down(inp, bp["skip"]["w"],
+                                           filter_taps=taps)
+            x = (x + proj) * res_scale
+            x_s2d = False  # the down convs land on the plain half-res lattice
+            res //= 2
+            continue
         x = conv2d(x, policy.cast_compute(bp["conv0"]["w"]))
         x = bias_act(x, policy.cast_compute(bp["conv0"]["b"]), act="lrelu")
         x = conv2d_down(x, policy.cast_compute(bp["conv1"]["w"]),
-                        filter_taps=tuple(cfg.filter_taps))
+                        filter_taps=taps)
         x = bias_act(x, policy.cast_compute(bp["conv1"]["b"]), act="lrelu")
         proj = conv2d_down(inp, policy.cast_compute(bp["skip"]["w"]),
-                           filter_taps=tuple(cfg.filter_taps))
+                           filter_taps=taps)
         x = (x + proj) * res_scale
+        res //= 2
 
     if cfg.mbstd_group_size:
         x = minibatch_std(x, cfg.mbstd_group_size, cfg.eps)

@@ -1,0 +1,267 @@
+"""Space-to-depth (s2d) execution domain for narrow-channel high-res levels.
+
+StyleGAN2 config-f's top synthesis/discriminator levels run 3-32 channels at
+512-1024px (reference stylegan2/models.py:744-750). On TPU, NHWC tensors with
+C << 128 waste most of each (sublane, lane) tile: measured on a v5e, the
+1024px ops run at ~60 GB/s effective — 7% of the 819 GB/s HBM roofline —
+while the same elements laid out as [B, H/2, W/2, 4C] (C=128 = exactly one
+lane tile) run 2.5-3x faster.
+
+This module makes that layout an exact *execution domain*: every op of the
+high-res segment (modulated 3x3 conv, fused 2x-up modulated conv, ToRGB 1x1,
+FIR skip upsample, FIR+stride-2 down convs, bilinear resize) is re-expressed
+as a standard XLA conv ON the s2d tensor with a phase-composed kernel, so the
+full-resolution tensor never materializes in the fitness path.
+
+Layout convention (phase-major): s2d(x)[b, p, q, (2r+c)*C + i] = x[b, 2p+r,
+2q+c, i]. All kernel composition is exact (verified element-wise against the
+plain path in tests/test_s2d.py); float differences are reduction-order only.
+
+Behavioral reference for the ops themselves: stylegan2/modules.py:459-676
+(FIR resampling), 920-967 (modulated conv), 1089-1139 (fused up),
+1148-1260 (fused down); reference generator.py:45 (kornia 224px resize).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from clip_glass_tpu.ops.modulated_conv import (
+    _conv,
+    _polyphase_up_kernels,
+    demod_coef,
+)
+from clip_glass_tpu.ops.upfirdn import setup_filter_kernel
+
+_DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                 ("NHWC", "HWIO", "NHWC"))
+
+
+# ------------------------------------------------------------ layout
+
+
+def s2d(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/2, W/2, 4C], phase-major."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+
+def un_s2d(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H/2, W/2, 4C] -> [B, H, W, C] (inverse of s2d)."""
+    B, Hh, Wh, C4 = x.shape
+    C = C4 // 4
+    x = x.reshape(B, Hh, Wh, 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * Hh, 2 * Wh, C)
+
+
+def s2d_hw(n: jnp.ndarray) -> jnp.ndarray:
+    """Per-layer noise plane [H, W] -> [H/2, W/2, 4] (phase-major)."""
+    H, W = n.shape
+    return n.reshape(H // 2, 2, W // 2, 2).transpose(0, 2, 1, 3).reshape(
+        H // 2, W // 2, 4)
+
+
+def tile_channels(v: jnp.ndarray, phases: int = 4) -> jnp.ndarray:
+    """Per-channel vector [..., C] -> [..., 4C] matching phase-major layout
+    (every phase carries the same per-channel value)."""
+    return jnp.concatenate([v] * phases, axis=-1)
+
+
+# ------------------------------------------------------------ kernel folding
+#
+# Every transform below rewrites  y[v] = sum_t K[t] * x[s*v + t - p]  (per
+# spatial dim) onto the half lattices v = 2v' + rv, j = 2j' + rj:
+#     j' = s'*v' + floor((s*rv + t - p) / 2),   rj = (s*rv + t - p) mod 2
+# so the op stays an ordinary conv with kernel indexed by (offset, rj, rv).
+
+
+def _fold(K: jnp.ndarray, p0: int, stride: int, in_s2d: bool, out_s2d: bool):
+    """Fold a stride-`stride` conv kernel [kh, kw, I, O] with symmetric-ish
+    pad start `p0` onto s2d input/output lattices. Returns (K', p0', kh').
+    Exact; jit-traceable (the tap enumeration is static, the scatter-adds run
+    on the tiny kernel tensor)."""
+    kh, kw, I, O = K.shape
+    fo = 2 if out_s2d else 1
+    fi = 2 if in_s2d else 1
+    s_new, rem = divmod(stride * fo, fi)
+    assert rem == 0 and s_new >= 1, "lattice ratio must stay integral"
+
+    # enumerate 1-D taps: (rv, t) -> (offset, rj)
+    offs = [(stride * rv + t - p0) for rv in range(fo) for t in range(kh)]
+    omin = min(o // fi for o in offs)
+    omax = max(o // fi for o in offs)
+    kh_new = omax - omin + 1
+
+    K32 = jnp.asarray(K, jnp.float32)
+    Kp = jnp.zeros((kh_new, kh_new, fi * fi * I, fo * fo * O), jnp.float32)
+    for rv in range(fo):
+        for rc in range(fo):
+            for a in range(kh):
+                for b in range(kw):
+                    uh = stride * rv + a - p0
+                    uw = stride * rc + b - p0
+                    dh, rjh = uh // fi, uh % fi
+                    dw, rjw = uw // fi, uw % fi
+                    ci = (rjh * fi + rjw) * I
+                    co = (rv * fo + rc) * O
+                    Kp = Kp.at[dh - omin, dw - omin,
+                               ci:ci + I, co:co + O].add(K32[a, b])
+    return Kp, -omin, kh_new
+
+
+@lru_cache(maxsize=None)
+def _down_composite_taps(k: int, filter_taps: tuple):
+    """Compose depthwise FIR + stride-2 conv (reference ConvDownLayer,
+    stylegan2/modules.py:1197-1232) into one (k + fk - 1)-tap stride-2 conv's
+    FIR coefficient table and pad start (the conv weights are folded in
+    s2d_down_kernel)."""
+    fk = setup_filter_kernel(filter_taps, gain=1.0, up_factor=1)
+    pad = (fk.shape[-1] - 2) + (k - 1)
+    return fk, (pad + 1) // 2
+
+
+def s2d_same_kernel(w: jnp.ndarray):
+    """Stride-1 'SAME' conv (reference ConvLayer pads: pad0 = (k-1) -
+    (k-1)//2) on an s2d tensor: kernel [kh,kw,I,O] -> ([kh',kw',4I,4O], pad')."""
+    k = w.shape[0]
+    p0 = (k - 1) - (k - 1) // 2
+    Kp, pad0, _ = _fold(w, p0, 1, True, True)
+    return Kp, pad0
+
+
+def s2d_up_kernel(w: jnp.ndarray, filter_taps=(1, 3, 3, 1)):
+    """Fused 2x-up modulated conv (transposed conv + FIR) from a PLAIN input
+    to an s2d output: the four composed phase kernels of
+    ops/modulated_conv._polyphase_up_kernels stacked phase-major.
+    Returns ([3,3,I,4O], pad0=1)."""
+    Kp = _polyphase_up_kernels(w, tuple(filter_taps))  # [3,3,I,4,O]
+    kh, kw, I, _, O = Kp.shape
+    return Kp.reshape(kh, kw, I, 4 * O), 1
+
+
+def s2d_down_kernel(w: jnp.ndarray, filter_taps=(1, 3, 3, 1)):
+    """FIR + stride-2 conv (reference ConvDownLayer) from an s2d input to a
+    PLAIN half-res output: composite (k+3)-tap stride-2 conv folded onto the
+    s2d lattice. Returns ([kh',kw',4I,O], pad0')."""
+    k = w.shape[0]
+    fk, p0 = _down_composite_taps(k, tuple(filter_taps))
+    kk = k + fk.shape[-1] - 1
+    w32 = jnp.asarray(w, jnp.float32)
+    C = jnp.zeros((kk, kk) + w.shape[2:], jnp.float32)
+    for s1 in range(fk.shape[0]):
+        for s2 in range(fk.shape[1]):
+            C = C.at[s1:s1 + k, s2:s2 + k].add(float(fk[s1, s2]) * w32)
+    Kp, pad0, _ = _fold(C, p0, 2, True, False)
+    return Kp, pad0
+
+
+@lru_cache(maxsize=None)
+def _upsample2x_s2d_taps(filter_taps: tuple, gain: float):
+    """FIR 2x upsample (reference Upsample, stylegan2/modules.py:549-604)
+    from a PLAIN input to an s2d output: per-phase 2-tap polyphase of the
+    separable kernel. Returns [2, 2, 2, 2] = [dj, dk, rv, rc] coefficients."""
+    k2 = setup_filter_kernel(filter_taps, gain, up_factor=2)
+    T = np.zeros((2, 2, 2, 2), np.float64)
+    for rv in range(2):
+        for dj in range(2):
+            s1 = 2 * dj + 1 - rv            # tap of the 4-tap filter
+            for rc in range(2):
+                for dk in range(2):
+                    s2 = 2 * dk + 1 - rc
+                    T[dj, dk, rv, rc] = k2[s1, s2]
+    return T
+
+
+def s2d_upsample2x(y: jnp.ndarray, filter_taps=(1, 3, 3, 1),
+                   gain: float = 1.0) -> jnp.ndarray:
+    """upsample2x(y) in s2d form: [B,H,W,C] -> [B,H,W,4C] (phys same res)."""
+    C = y.shape[-1]
+    T = _upsample2x_s2d_taps(tuple(filter_taps), gain)
+    K = np.zeros((2, 2, C, 4 * C), np.float64)
+    for rv in range(2):
+        for rc in range(2):
+            for i in range(C):
+                K[:, :, i, (rv * 2 + rc) * C + i] = T[:, :, rv, rc]
+    return _conv(y, jnp.asarray(K, y.dtype), pad0=1, pad1=0)
+
+
+# ------------------------------------------------------------ modulated ops
+
+
+def s2d_modulated_conv2d(x_s2d, w, style, *, demodulate: bool = True,
+                         eps: float = 1e-8):
+    """modulated_conv2d on an s2d tensor. x_s2d: [B,H/2,W/2,4I]; w: [k,k,I,O]
+    (ORIGINAL kernel); style: [B,I]. Exact: input scaling and output
+    demodulation tile per-phase; the spatial kernel folds onto the lattice."""
+    Kp, pad0 = s2d_same_kernel(w)
+    pad1 = Kp.shape[0] - 1 - pad0
+    xs = x_s2d * tile_channels(style).astype(x_s2d.dtype)[:, None, None, :]
+    y = _conv(xs, Kp.astype(x_s2d.dtype), pad0=pad0, pad1=pad1)
+    if demodulate:
+        d = demod_coef(w, style, eps)
+        y = y * tile_channels(d).astype(y.dtype)[:, None, None, :]
+    return y
+
+
+def s2d_modulated_conv2d_up(x, w, style, *, demodulate: bool = True,
+                            filter_taps=(1, 3, 3, 1), eps: float = 1e-8):
+    """modulated_conv2d_up from a PLAIN input straight into s2d form (the
+    polyphase composition WITHOUT the interleave that made it lose as a
+    full-res op, ops/modulated_conv.py:133-155). x: [B,H,W,I] ->
+    [B,H,W,4O] (phys same res = s2d of 2H x 2W)."""
+    Kp, pad0 = s2d_up_kernel(w, filter_taps)
+    xs = x * style[:, None, None, :].astype(x.dtype)
+    y = _conv(xs, Kp.astype(x.dtype), pad0=pad0, pad1=pad0)
+    if demodulate:
+        d = demod_coef(w, style, eps)
+        y = y * tile_channels(d).astype(y.dtype)[:, None, None, :]
+    return y
+
+
+def s2d_conv2d(x_s2d, w):
+    """Unmodulated stride-1 'SAME' conv on an s2d tensor (D fromRGB/conv0)."""
+    Kp, pad0 = s2d_same_kernel(w)
+    pad1 = Kp.shape[0] - 1 - pad0
+    return _conv(x_s2d, Kp.astype(x_s2d.dtype), pad0=pad0, pad1=pad1)
+
+
+def s2d_conv2d_down(x_s2d, w, *, filter_taps=(1, 3, 3, 1)):
+    """FIR + stride-2 conv on an s2d input -> PLAIN half-res output."""
+    Kp, pad0 = s2d_down_kernel(w, filter_taps)
+    pad1 = Kp.shape[0] - 1 - pad0
+    return _conv(x_s2d, Kp.astype(x_s2d.dtype), pad0=pad0, pad1=pad1)
+
+
+# ------------------------------------------------------------ resize
+
+
+@lru_cache(maxsize=None)
+def _bilinear_matrix(src: int, dst: int):
+    """Exact jax.image.resize(bilinear, antialias=False) row-weight matrix
+    [dst, src], via resize of the identity (the op is linear/separable)."""
+    eye = np.eye(src, dtype=np.float32)
+    with jax.ensure_compile_time_eval():  # stay concrete under jit tracing
+        R = jax.image.resize(jnp.asarray(eye), (dst, src), method="bilinear",
+                             antialias=False)
+    return np.asarray(R, np.float32)
+
+
+def resize_bilinear_from_s2d(img_s2d: jnp.ndarray, size: int = 224):
+    """[B, H/2, W/2, 4C] s2d image -> [B, C, size, size] (NCHW, matching
+    ops/resize.resize_bilinear semantics) without materializing the full-res
+    image: the bilinear weight matrix folds the phase index."""
+    B, Hh, Wh, C4 = img_s2d.shape
+    C = C4 // 4
+    R_h = jnp.asarray(_bilinear_matrix(2 * Hh, size).reshape(size, Hh, 2))
+    R_w = jnp.asarray(_bilinear_matrix(2 * Wh, size).reshape(size, Wh, 2))
+    x = jnp.asarray(img_s2d, jnp.float32).reshape(B, Hh, Wh, 2, 2, C)
+    # contract H (p, r) then W (q, s)
+    t = jnp.einsum("bpqrsc,opr->boqsc", x, R_h)
+    z = jnp.einsum("boqsc,wqs->bowc", t, R_w)
+    return jnp.transpose(z, (0, 3, 1, 2))

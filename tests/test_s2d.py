@@ -1,0 +1,179 @@
+"""Space-to-depth execution domain (ops/s2d.py): every phase-composed kernel
+must be EXACTLY the plain op (reduction order aside), and the s2d synthesis/
+discriminator/fitness paths must match the plain paths element-wise.
+
+The s2d domain is the TPU answer to the reference's narrow-channel high-res
+levels (reference stylegan2/models.py:744-750: 3-32 channels at 512-1024px);
+correctness is defined by the plain path, which is itself torch-oracle-parity
+tested in test_stylegan2_parity.py.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_glass_tpu.core.dtypes import FP32
+from clip_glass_tpu.models.stylegan2 import model as sg2
+from clip_glass_tpu.ops import s2d as S
+from clip_glass_tpu.ops.modulated_conv import (
+    conv2d,
+    conv2d_down,
+    modulated_conv2d,
+    modulated_conv2d_up,
+)
+from clip_glass_tpu.ops.resize import resize_bilinear
+from clip_glass_tpu.ops.upfirdn import upsample2x
+
+
+def r(rng, *s):
+    return jnp.asarray(rng.normal(size=s), jnp.float32)
+
+
+B, H, I, O = 2, 16, 6, 5
+
+
+def test_s2d_roundtrip(rng):
+    x = r(rng, B, H, H, I)
+    np.testing.assert_array_equal(np.asarray(S.un_s2d(S.s2d(x))), np.asarray(x))
+
+
+def test_s2d_phase_major_layout(rng):
+    x = r(rng, B, H, H, I)
+    xs = np.asarray(S.s2d(x))
+    xn = np.asarray(x)
+    for rr in range(2):
+        for cc in range(2):
+            np.testing.assert_array_equal(
+                xs[:, :, :, (rr * 2 + cc) * I:(rr * 2 + cc + 1) * I],
+                xn[:, rr::2, cc::2, :])
+
+
+@pytest.mark.parametrize("k,demod", [(3, True), (3, False), (1, False)])
+def test_s2d_modulated_conv(rng, k, demod):
+    x = r(rng, B, H, H, I)
+    w = r(rng, k, k, I, O)
+    style = r(rng, B, I)
+    a = modulated_conv2d(x, w, style, demodulate=demod)
+    b = S.un_s2d(S.s2d_modulated_conv2d(S.s2d(x), w, style, demodulate=demod))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_s2d_modulated_conv_up(rng):
+    x = r(rng, B, H, H, I)
+    w = r(rng, 3, 3, I, O)
+    style = r(rng, B, I)
+    a = modulated_conv2d_up(x, w, style)
+    b = S.un_s2d(S.s2d_modulated_conv2d_up(x, w, style))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("k", [3, 1])
+def test_s2d_plain_and_down_convs(rng, k):
+    x = r(rng, B, H, H, I)
+    w = r(rng, k, k, I, O)
+    a = conv2d(x, w)
+    b = S.un_s2d(S.s2d_conv2d(S.s2d(x), w))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+    a = conv2d_down(x, w)
+    b = S.s2d_conv2d_down(S.s2d(x), w)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_s2d_upsample2x(rng):
+    y = r(rng, B, H, H, 3)
+    a = upsample2x(y)
+    b = S.un_s2d(S.s2d_upsample2x(y))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_resize_from_s2d(rng):
+    img = r(rng, B, 32, 32, 3)
+    a = resize_bilinear(jnp.transpose(img, (0, 3, 1, 2)), 12)
+    b = S.resize_bilinear_from_s2d(S.s2d(img), 12)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------- model level
+
+TINY_S2D = dataclasses.replace(sg2.TINY, s2d_min_res=8)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    key = jax.random.PRNGKey(3)
+    kg, kd = jax.random.split(key)
+    gp = sg2.generator_init(kg, sg2.TINY)
+    dp = sg2.discriminator_init(kd, sg2.TINY)
+    noise = [jax.random.normal(k, s) for k, s in zip(
+        jax.random.split(jax.random.PRNGKey(7), len(sg2.TINY.noise_shapes())),
+        sg2.TINY.noise_shapes())]
+    return gp, dp, noise
+
+
+def test_synthesis_s2d_matches_plain(tiny_params, rng):
+    """Multi-block s2d (cutoff 8 on the 16px TINY) exercises plain->s2d entry,
+    s2d->s2d up transitions and the skip-accumulator upsample."""
+    gp, _, noise = tiny_params
+    z = r(rng, 4, sg2.TINY.latent_size)
+    a = sg2.generator_apply(gp, z, sg2.TINY, noise=noise, policy=FP32)
+    b = sg2.generator_apply(gp, z, TINY_S2D, noise=noise, policy=FP32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_synthesis_output_s2d_layout(tiny_params, rng):
+    gp, _, noise = tiny_params
+    z = r(rng, 4, sg2.TINY.latent_size)
+    a = sg2.generator_apply(gp, z, TINY_S2D, noise=noise, policy=FP32)
+    b = sg2.generator_apply(gp, z, TINY_S2D, noise=noise, policy=FP32,
+                            output_s2d=True)
+    assert b.shape == (4, 8, 8, 12)
+    np.testing.assert_allclose(
+        np.asarray(a),
+        np.asarray(jnp.transpose(S.un_s2d(b), (0, 3, 1, 2))),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_discriminator_s2d_matches_plain(tiny_params, rng):
+    gp, dp, _ = tiny_params
+    img = r(rng, 4, 3, 16, 16)
+    a = sg2.discriminator_apply(dp, img, sg2.TINY, policy=FP32)
+    img_s2d = S.s2d(jnp.transpose(img, (0, 2, 3, 1)))
+    b = sg2.discriminator_apply(dp, img_s2d, TINY_S2D, policy=FP32,
+                                input_s2d=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_fitness_s2d_matches_plain():
+    """End-to-end: the s2d fitness pipeline (synthesis -> norm -> phase-aware
+    resize -> CLIP; s2d discriminator hinge) equals the plain pipeline."""
+    from clip_glass_tpu.config import get_config
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+    from clip_glass_tpu.models.clip import model as clip_model
+
+    config = get_config("StyleGAN2_ffhq_d").replace(
+        target="a tiny test face", weights="random:0", pop_size=4,
+        dim_z=32, n_var=32, compute_dtype="float32")
+    p_plain = GenerationProblem(config, clip_cfg=clip_model.TINY,
+                                model_cfg=sg2.TINY)
+    p_s2d = GenerationProblem(config, clip_cfg=clip_model.TINY,
+                              model_cfg=TINY_S2D)
+    assert not p_plain.generator._s2d_active
+    assert p_s2d.generator._s2d_active
+    X = jnp.asarray(np.random.default_rng(0).normal(size=(4, 32)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    Fa = p_plain.generator.eval_population(X, key=key)
+    Fb = p_s2d.generator.eval_population(X, key=key)
+    np.testing.assert_allclose(np.asarray(Fa), np.asarray(Fb),
+                               rtol=2e-3, atol=2e-3)
