@@ -63,9 +63,9 @@ class SG2Config:
     # Levels with output resolution >= this run in the space-to-depth
     # execution domain (ops/s2d.py): [B,H,W,C] stored as [B,H/2,W/2,4C],
     # exact phase-composed kernels, full-res tensors never materialized.
-    # 1024 = only config-f's top (3-32 channel) level, where the plain
-    # layout runs at ~7% of the HBM roofline on TPU. 2**30 disables.
-    s2d_min_res: int = 1024
+    # 512 = config-f's 32-64 channel levels, where the plain layout runs at
+    # ~7% of the HBM roofline on TPU (measured). 2**30 disables.
+    s2d_min_res: int = 512
 
     @property
     def n_blocks(self) -> int:
@@ -289,11 +289,11 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
                                       policy.cast_compute(lp["style"]["b"]))
             if up and li == 0:
                 if use_s2d:
-                    if x_s2d:  # s2d(res/2) -> s2d(res): re-enter from plain
-                        x = s2d_ops.un_s2d(x)
+                    # input_s2d=True is the s2d(res/2) -> s2d(res) transition:
+                    # one lhs_dilation=2 conv at the physical level
                     x = s2d_ops.s2d_modulated_conv2d_up(
                         x, lp["w"], style, demodulate=cfg.demodulate,
-                        filter_taps=taps, eps=cfg.eps)
+                        filter_taps=taps, eps=cfg.eps, input_s2d=x_s2d)
                     x_s2d = True
                 else:
                     x = modulated_conv2d_up(x, policy.cast_compute(lp["w"]),
@@ -421,15 +421,20 @@ def discriminator_apply(params, images, cfg: SG2Config = CONFIG_F,
             x_s2d = False
         inp = x
         if use_s2d:
+            next_s2d = _s2d_supported(cfg) and res // 2 >= cfg.s2d_min_res
             x = s2d_ops.s2d_conv2d(x, bp["conv0"]["w"])
             x = bias_act(x, s2d_ops.tile_channels(
                 policy.cast_compute(bp["conv0"]["b"])), act="lrelu")
-            x = s2d_ops.s2d_conv2d_down(x, bp["conv1"]["w"], filter_taps=taps)
-            x = bias_act(x, policy.cast_compute(bp["conv1"]["b"]), act="lrelu")
+            x = s2d_ops.s2d_conv2d_down(x, bp["conv1"]["w"], filter_taps=taps,
+                                        output_s2d=next_s2d)
+            b1 = policy.cast_compute(bp["conv1"]["b"])
+            x = bias_act(x, s2d_ops.tile_channels(b1) if next_s2d else b1,
+                         act="lrelu")
             proj = s2d_ops.s2d_conv2d_down(inp, bp["skip"]["w"],
-                                           filter_taps=taps)
+                                           filter_taps=taps,
+                                           output_s2d=next_s2d)
             x = (x + proj) * res_scale
-            x_s2d = False  # the down convs land on the plain half-res lattice
+            x_s2d = next_s2d
             res //= 2
             continue
         x = conv2d(x, policy.cast_compute(bp["conv0"]["w"]))
@@ -442,6 +447,8 @@ def discriminator_apply(params, images, cfg: SG2Config = CONFIG_F,
         x = (x + proj) * res_scale
         res //= 2
 
+    if x_s2d:  # cutoff reached the base block: fall back to plain for the head
+        x = s2d_ops.un_s2d(x)
     if cfg.mbstd_group_size:
         x = minibatch_std(x, cfg.mbstd_group_size, cfg.eps)
     x = conv2d(x, policy.cast_compute(params["final_conv"]["w"]))

@@ -145,10 +145,32 @@ def s2d_up_kernel(w: jnp.ndarray, filter_taps=(1, 3, 3, 1)):
     return Kp.reshape(kh, kw, I, 4 * O), 1
 
 
-def s2d_down_kernel(w: jnp.ndarray, filter_taps=(1, 3, 3, 1)):
+def s2d_up_kernel_from_s2d(w: jnp.ndarray, filter_taps=(1, 3, 3, 1)):
+    """Fused 2x-up modulated conv from an s2d INPUT to an s2d output: the
+    polyphase kernel's input side folded onto the half lattice. The result is
+    a lhs_dilation=2 conv at the physical level (in res H stored at H/2,
+    out res 2H stored at H): kernel [4,4,4I,4O], pads (2,2), lhs_dilation 2.
+    Derivation: y[v'] = sum_t Kp[t] x[v'+t-1] with x[2j'+rj] = xs[j', rj]
+    => dilated-input tap tau = t + 1 - rj."""
+    Kp = _polyphase_up_kernels(w, tuple(filter_taps))  # [3,3,I,4,O]
+    kh, kw, I, _, O = Kp.shape
+    Kp32 = jnp.asarray(Kp.reshape(kh, kw, I, 4 * O), jnp.float32)
+    Kd = jnp.zeros((4, 4, 4 * I, 4 * O), jnp.float32)
+    for rjh in range(2):
+        for rjw in range(2):
+            ci = (rjh * 2 + rjw) * I
+            for a in range(kh):
+                for b in range(kw):
+                    Kd = Kd.at[a + 1 - rjh, b + 1 - rjw,
+                               ci:ci + I, :].add(Kp32[a, b])
+    return Kd, 2
+
+
+def s2d_down_kernel(w: jnp.ndarray, filter_taps=(1, 3, 3, 1),
+                    out_s2d: bool = False):
     """FIR + stride-2 conv (reference ConvDownLayer) from an s2d input to a
-    PLAIN half-res output: composite (k+3)-tap stride-2 conv folded onto the
-    s2d lattice. Returns ([kh',kw',4I,O], pad0')."""
+    half-res output — PLAIN ([kh',kw',4I,O], stride 1 at the physical level)
+    or s2d ([kh',kw',4I,4O], stride 2). Returns (K', pad0', stride')."""
     k = w.shape[0]
     fk, p0 = _down_composite_taps(k, tuple(filter_taps))
     kk = k + fk.shape[-1] - 1
@@ -157,8 +179,8 @@ def s2d_down_kernel(w: jnp.ndarray, filter_taps=(1, 3, 3, 1)):
     for s1 in range(fk.shape[0]):
         for s2 in range(fk.shape[1]):
             C = C.at[s1:s1 + k, s2:s2 + k].add(float(fk[s1, s2]) * w32)
-    Kp, pad0, _ = _fold(C, p0, 2, True, False)
-    return Kp, pad0
+    Kp, pad0, _ = _fold(C, p0, 2, True, out_s2d)
+    return Kp, pad0, (2 if out_s2d else 1)
 
 
 @lru_cache(maxsize=None)
@@ -210,14 +232,23 @@ def s2d_modulated_conv2d(x_s2d, w, style, *, demodulate: bool = True,
 
 
 def s2d_modulated_conv2d_up(x, w, style, *, demodulate: bool = True,
-                            filter_taps=(1, 3, 3, 1), eps: float = 1e-8):
-    """modulated_conv2d_up from a PLAIN input straight into s2d form (the
-    polyphase composition WITHOUT the interleave that made it lose as a
-    full-res op, ops/modulated_conv.py:133-155). x: [B,H,W,I] ->
-    [B,H,W,4O] (phys same res = s2d of 2H x 2W)."""
-    Kp, pad0 = s2d_up_kernel(w, filter_taps)
-    xs = x * style[:, None, None, :].astype(x.dtype)
-    y = _conv(xs, Kp.astype(x.dtype), pad0=pad0, pad1=pad0)
+                            filter_taps=(1, 3, 3, 1), eps: float = 1e-8,
+                            input_s2d: bool = False):
+    """modulated_conv2d_up straight into s2d form (the polyphase composition
+    WITHOUT the interleave that made it lose as a full-res op,
+    ops/modulated_conv.py:133-155).
+
+    input_s2d=False: x [B,H,W,I] plain -> [B,H,W,4O] (= s2d of 2H x 2W).
+    input_s2d=True:  x [B,H/2,W/2,4I] s2d -> [B,H,W,4O] via a lhs_dilation=2
+    conv at the physical level (the s2d(H) -> s2d(2H) up transition)."""
+    if input_s2d:
+        Kd, pad0 = s2d_up_kernel_from_s2d(w, filter_taps)
+        xs = x * tile_channels(style).astype(x.dtype)[:, None, None, :]
+        y = _conv(xs, Kd.astype(x.dtype), pad0=pad0, pad1=pad0, lhs_dilation=2)
+    else:
+        Kp, pad0 = s2d_up_kernel(w, filter_taps)
+        xs = x * style[:, None, None, :].astype(x.dtype)
+        y = _conv(xs, Kp.astype(x.dtype), pad0=pad0, pad1=pad0)
     if demodulate:
         d = demod_coef(w, style, eps)
         y = y * tile_channels(d).astype(y.dtype)[:, None, None, :]
@@ -231,11 +262,18 @@ def s2d_conv2d(x_s2d, w):
     return _conv(x_s2d, Kp.astype(x_s2d.dtype), pad0=pad0, pad1=pad1)
 
 
-def s2d_conv2d_down(x_s2d, w, *, filter_taps=(1, 3, 3, 1)):
-    """FIR + stride-2 conv on an s2d input -> PLAIN half-res output."""
-    Kp, pad0 = s2d_down_kernel(w, filter_taps)
-    pad1 = Kp.shape[0] - 1 - pad0
-    return _conv(x_s2d, Kp.astype(x_s2d.dtype), pad0=pad0, pad1=pad1)
+def s2d_conv2d_down(x_s2d, w, *, filter_taps=(1, 3, 3, 1),
+                    output_s2d: bool = False):
+    """FIR + stride-2 conv on an s2d input -> half-res output, PLAIN
+    (default) or s2d (the level below also runs in the s2d domain)."""
+    Kp, pad0, stride = s2d_down_kernel(w, filter_taps, out_s2d=output_s2d)
+    k = Kp.shape[0]
+    H = x_s2d.shape[1]
+    # output phys length: H/2 for s2d out (stride 2), H for plain out
+    out_len = H // stride if output_s2d else H
+    pad1 = (out_len - 1) * stride + k - pad0 - H
+    return _conv(x_s2d, Kp.astype(x_s2d.dtype), stride=stride,
+                 pad0=pad0, pad1=pad1)
 
 
 # ------------------------------------------------------------ resize
@@ -258,10 +296,13 @@ def resize_bilinear_from_s2d(img_s2d: jnp.ndarray, size: int = 224):
     image: the bilinear weight matrix folds the phase index."""
     B, Hh, Wh, C4 = img_s2d.shape
     C = C4 // 4
-    R_h = jnp.asarray(_bilinear_matrix(2 * Hh, size).reshape(size, Hh, 2))
-    R_w = jnp.asarray(_bilinear_matrix(2 * Wh, size).reshape(size, Wh, 2))
-    x = jnp.asarray(img_s2d, jnp.float32).reshape(B, Hh, Wh, 2, 2, C)
-    # contract H (p, r) then W (q, s)
-    t = jnp.einsum("bpqrsc,opr->boqsc", x, R_h)
-    z = jnp.einsum("boqsc,wqs->bowc", t, R_w)
+    dt = img_s2d.dtype
+    R_h = jnp.asarray(_bilinear_matrix(2 * Hh, size).reshape(size, Hh, 2), dt)
+    R_w = jnp.asarray(_bilinear_matrix(2 * Wh, size).reshape(size, Wh, 2), dt)
+    x = img_s2d.reshape(B, Hh, Wh, 2, 2, C)
+    # contract H (p, r) then W (q, s); fp32 accumulation, source-dtype reads
+    t = jnp.einsum("bpqrsc,opr->boqsc", x, R_h,
+                   preferred_element_type=jnp.float32)
+    z = jnp.einsum("boqsc,wqs->bowc", t.astype(dt), R_w,
+                   preferred_element_type=jnp.float32)
     return jnp.transpose(z, (0, 3, 1, 2))

@@ -87,6 +87,29 @@ def test_s2d_plain_and_down_convs(rng, k):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_s2d_modulated_conv_up_from_s2d(rng):
+    """The s2d(H) -> s2d(2H) up transition (lhs_dilation=2 folded kernel)."""
+    x = r(rng, B, H, H, I)
+    w = r(rng, 3, 3, I, O)
+    style = r(rng, B, I)
+    a = modulated_conv2d_up(x, w, style)
+    b = S.un_s2d(S.s2d_modulated_conv2d_up(S.s2d(x), w, style,
+                                           input_s2d=True))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("k", [3, 1])
+def test_s2d_down_to_s2d(rng, k):
+    """Down conv landing directly on the next level's s2d lattice."""
+    x = r(rng, B, H, H, I)
+    w = r(rng, k, k, I, O)
+    a = conv2d_down(x, w)
+    b = S.un_s2d(S.s2d_conv2d_down(S.s2d(x), w, output_s2d=True))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_s2d_upsample2x(rng):
     y = r(rng, B, H, H, 3)
     a = upsample2x(y)
