@@ -44,6 +44,16 @@ def main():
               else "the face of a man with brown eyes")
     config = config.replace(target=target, weights="random:0", pop_size=pop,
                             compute_dtype="bfloat16")
+    # population microbatching: pops beyond the single-chip activation
+    # budget evaluate in on-device chunks (lax.map), like the reference's
+    # minibatch loops (reference models.py:108-118, config.py:86)
+    mb = os.environ.get("BENCH_MICROBATCH")
+    safe = {"StyleGAN2": 16, "DeepMindBigGAN512": 32}.get(
+        "StyleGAN2" if name.startswith("StyleGAN2") else name)
+    if mb:
+        config = config.replace(eval_microbatch=int(mb))
+    elif safe and pop > safe:
+        config = config.replace(eval_microbatch=safe)
     problem = GenerationProblem(config)
     algorithm = problem.make_algorithm()
 

@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target", type=str,
                    default="a wolf at night with the moon in the background")
     p.add_argument("--pop-size", type=int, default=None)
+    p.add_argument("--eval-microbatch", type=int, default=None,
+                   help="evaluate the population in on-device chunks of this "
+                        "size (lax.map): decouples pop size from HBM, like "
+                        "the reference's minibatch loops")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--weights", type=str, default=None,
                    help="override config weights; 'random:<seed>' for random init")
@@ -104,6 +108,8 @@ def main(argv=None) -> int:
         generations=args.generations, save_each=args.save_each)
     if args.pop_size:
         config = config.replace(pop_size=args.pop_size)
+    if args.eval_microbatch:
+        config = config.replace(eval_microbatch=args.eval_microbatch)
     if args.weights:
         config = config.replace(weights=args.weights)
 

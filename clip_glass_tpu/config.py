@@ -63,6 +63,13 @@ class Config:
     param_dtype: str = "float32"
     resolution: int = 0                 # synthesis resolution (0 = model default)
     mesh_shape: Optional[Tuple[int, ...]] = None  # population-axis mesh, None = all devices
+    # On-device population microbatching: evaluate the population in chunks
+    # of this size under lax.map inside the one jitted step, decoupling
+    # pop_size from HBM (the on-device analogue of the reference's python
+    # minibatch loops, reference models.py:108-118 / config.py:86). None =
+    # the whole population in one batch. Must divide pop_size; keep it a
+    # multiple of 4 so D's minibatch-std groups are unchanged.
+    eval_microbatch: Optional[int] = None
 
     @property
     def problem_args(self) -> Dict[str, Any]:

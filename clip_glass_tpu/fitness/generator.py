@@ -357,10 +357,8 @@ class Generator:
             return jnp.stack([-sim, hinge], axis=1).astype(jnp.float32)
         return (-sim[:, None]).astype(jnp.float32)
 
-    def eval_population(self, X: jnp.ndarray, bundle=None, key=None) -> jnp.ndarray:
-        """[pop, n_var] -> [pop, n_obj] fitness (reference problem.py:14-29):
-        F0 = -cosine similarity; F1 = relu(1 - D) hinge for *_d configs."""
-        bundle = bundle if bundle is not None else self.bundle
+    def _eval_batch(self, X: jnp.ndarray, bundle, key) -> jnp.ndarray:
+        """Fitness of one on-device batch (no chunking)."""
         if self._s2d_active:
             return self._eval_stylegan2_s2d(X, bundle, key)
         generated = self.generate(X, bundle, key)
@@ -370,6 +368,32 @@ class Generator:
             hinge = jax.nn.relu(1.0 - d[:, 0])
             return jnp.stack([-sim, hinge], axis=1).astype(jnp.float32)
         return (-sim[:, None]).astype(jnp.float32)
+
+    def eval_population(self, X: jnp.ndarray, bundle=None, key=None) -> jnp.ndarray:
+        """[pop, n_var] -> [pop, n_obj] fitness (reference problem.py:14-29):
+        F0 = -cosine similarity; F1 = relu(1 - D) hinge for *_d configs.
+
+        With config.eval_microbatch set, the population is evaluated in
+        sequential on-device chunks under lax.map — peak activation memory is
+        that of ONE chunk, so pop_size is decoupled from HBM (the on-device
+        analogue of the reference's minibatch loops, reference
+        models.py:108-118). Per-chunk PRNG keys keep stochastic fitness
+        (GPT-2 sampling) independent across chunks."""
+        bundle = bundle if bundle is not None else self.bundle
+        mb = self.config.eval_microbatch
+        pop = X.shape[0]
+        if not mb or pop <= mb:
+            return self._eval_batch(X, bundle, key)
+        if pop % mb:
+            raise ValueError(
+                f"eval_microbatch {mb} must divide pop_size {pop}")
+        keys = jax.random.split(
+            key if key is not None else jax.random.PRNGKey(self.config.seed),
+            pop // mb)
+        Xc = X.reshape(pop // mb, mb, X.shape[1])
+        F = jax.lax.map(lambda xk: self._eval_batch(xk[0], bundle, xk[1]),
+                        (Xc, keys))
+        return F.reshape(pop, F.shape[-1])
 
     # ------------------------------------------------------------ saving
 

@@ -200,3 +200,53 @@ def test_fitness_s2d_matches_plain():
     Fb = p_s2d.generator.eval_population(X, key=key)
     np.testing.assert_allclose(np.asarray(Fa), np.asarray(Fb),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_eval_microbatch_equivalence():
+    """Population microbatching (lax.map chunks, config.eval_microbatch) —
+    the on-device analogue of the reference's minibatch loops (reference
+    models.py:108-118).
+
+    On a no-discriminator config the chunked fitness is EXACTLY the
+    single-batch fitness. With a discriminator, the CLIP objective still
+    matches element-wise; the hinge objective's minibatch-std term is
+    batch-statistics-dependent BY DESIGN (the reference, too, computes it
+    per minibatch-of-batch_size — reference generator.py:36-38 +
+    stylegan2/modules.py:679-750 — so chunk=batch_size is the
+    reference-faithful setting, not a divergence)."""
+    from clip_glass_tpu.config import get_config
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+    from clip_glass_tpu.models.clip import model as clip_model
+
+    X = jnp.asarray(np.random.default_rng(1).normal(size=(8, 32)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    base = get_config("StyleGAN2_ffhq_nod").replace(
+        target="a tiny test face", weights="random:0", pop_size=8,
+        dim_z=32, n_var=32, compute_dtype="float32")
+    p_full = GenerationProblem(base, clip_cfg=clip_model.TINY,
+                               model_cfg=sg2.TINY)
+    p_mb = GenerationProblem(base.replace(eval_microbatch=4),
+                             clip_cfg=clip_model.TINY, model_cfg=sg2.TINY)
+    Fa = p_full.generator.eval_population(X, key=key)
+    Fb = p_mb.generator.eval_population(X, key=key)
+    np.testing.assert_allclose(np.asarray(Fa), np.asarray(Fb),
+                               rtol=1e-5, atol=1e-5)
+    # jittable with chunking
+    Fc = jax.jit(lambda X, c, k: p_mb.generator.eval_population(X, c, k))(
+        X, p_mb.generator.bundle, key)
+    np.testing.assert_allclose(np.asarray(Fb), np.asarray(Fc),
+                               rtol=1e-5, atol=1e-5)
+
+    based = get_config("StyleGAN2_ffhq_d").replace(
+        target="a tiny test face", weights="random:0", pop_size=8,
+        dim_z=32, n_var=32, compute_dtype="float32")
+    pd_full = GenerationProblem(based, clip_cfg=clip_model.TINY,
+                                model_cfg=sg2.TINY)
+    pd_mb = GenerationProblem(based.replace(eval_microbatch=4),
+                              clip_cfg=clip_model.TINY, model_cfg=sg2.TINY)
+    Fa = pd_full.generator.eval_population(X, key=key)
+    Fb = pd_mb.generator.eval_population(X, key=key)
+    np.testing.assert_allclose(np.asarray(Fa[:, 0]), np.asarray(Fb[:, 0]),
+                               rtol=1e-5, atol=1e-5)
+    assert np.isfinite(np.asarray(Fb)).all()
