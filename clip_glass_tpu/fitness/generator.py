@@ -54,6 +54,13 @@ def _is_random(weights: str) -> bool:
     return isinstance(weights, str) and weights.startswith("random")
 
 
+def _is_abstract(weights: str) -> bool:
+    """weights="abstract": build SHAPES only (jax.eval_shape) — no arrays are
+    materialized. For AOT compile checks (sharded full-size programs lower +
+    compile against ShapeDtypeStructs, __graft_entry__.dryrun_multichip)."""
+    return weights == "abstract"
+
+
 def _random_seed(weights: str) -> int:
     return int(weights.split(":")[1]) if ":" in weights else 0
 
@@ -68,7 +75,13 @@ class Generator:
         self.policy = policy or P.make(config.param_dtype, config.compute_dtype)
 
         # ---- CLIP (reference generator.py:16: clip.load("ViT-B/32", jit=False))
-        if _is_random(clip_weights):
+        self.abstract = _is_abstract(clip_weights) or _is_abstract(config.weights)
+        if self.abstract:
+            self.clip_cfg = clip_cfg or clip_model.VIT_B_32
+            self.clip_params = jax.eval_shape(
+                lambda k: clip_model.init(k, self.clip_cfg),
+                jax.random.PRNGKey(0))
+        elif _is_random(clip_weights):
             self.clip_cfg = clip_cfg or clip_model.VIT_B_32
             self.clip_params = jax.jit(
                 lambda k: clip_model.init(k, self.clip_cfg)
@@ -84,25 +97,29 @@ class Generator:
         self._load_model(config)
 
         # ---- target features (computed once, reference generator.py:22-27)
+        _once = jax.eval_shape if self.abstract else (lambda f, *a: jax.jit(f)(*a))
         if config.task == "txt2img":
             tokens = jnp.asarray(tokenize([config.target]))
-            self.text_features = jax.jit(
-                lambda p, t: clip_model.encode_text(p, t, self.clip_cfg, self.policy)
-            )(self.clip_params, tokens)
+            self.text_features = _once(
+                lambda p, t: clip_model.encode_text(p, t, self.clip_cfg, self.policy),
+                self.clip_params, tokens)
             self.image_features = None
         else:
             from PIL import Image
             img = clip_preprocess_pil(Image.open(config.target),
                                       self.clip_cfg.image_resolution)
-            self.image_features = jax.jit(
-                lambda p, im: clip_model.encode_image(p, im, self.clip_cfg, self.policy)
-            )(self.clip_params, jnp.asarray(img))
+            self.image_features = _once(
+                lambda p, im: clip_model.encode_image(p, im, self.clip_cfg, self.policy),
+                self.clip_params, jnp.asarray(img))
             self.text_features = None
 
     # ------------------------------------------------------------ loading
 
     def _load_model(self, config):
         fam = config.model
+        if _is_abstract(config.weights):
+            self._load_model_abstract(config)
+            return
         if fam == "stylegan2":
             if _is_random(config.weights):
                 self.model_cfg = self._model_cfg_override or sg2.CONFIG_F
@@ -159,6 +176,36 @@ class Generator:
                         f"GPT-2 weights not found at {config.weights!r}")
                 self.g_params, self.model_cfg = convert_gpt2.load_torch_checkpoint(
                     config.weights)
+            self.d_params = None
+            enc = get_gpt2_tokenizer()
+            self.init_tokens = np.asarray(enc.encode(self.config.init_text),
+                                          np.int32)
+        else:
+            raise ValueError(f"unknown model family {fam!r}")
+
+    def _load_model_abstract(self, config):
+        """Shapes-only model init (see _is_abstract)."""
+        fam = config.model
+        key = jax.random.PRNGKey(0)
+        if fam == "stylegan2":
+            self.model_cfg = self._model_cfg_override or sg2.CONFIG_F
+            self.g_params = jax.eval_shape(
+                lambda k: sg2.generator_init(k, self.model_cfg), key)
+            self.d_params = (jax.eval_shape(
+                lambda k: sg2.discriminator_init(k, self.model_cfg), key)
+                if config.use_discriminator else None)
+            self.noise = [jax.ShapeDtypeStruct(s, jnp.float32)
+                          for s in self.model_cfg.noise_shapes()]
+        elif fam == "biggan":
+            self.model_cfg = self._model_cfg_override or bg.CONFIGS.get(
+                f"biggan-deep-{config.resolution}", bg.BIGGAN_DEEP_256)
+            self.g_params = jax.eval_shape(
+                lambda k: bg.init(k, self.model_cfg), key)
+            self.d_params = None
+        elif fam == "gpt2":
+            self.model_cfg = self._model_cfg_override or g2.GPT2_124M
+            self.g_params = jax.eval_shape(
+                lambda k: g2.init(k, self.model_cfg), key)
             self.d_params = None
             enc = get_gpt2_tokenizer()
             self.init_tokens = np.asarray(enc.encode(self.config.init_text),

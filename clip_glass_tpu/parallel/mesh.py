@@ -40,40 +40,49 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_clip_tp(clip_params, mesh: Mesh, axis: str = "model"):
-    """Megatron-style tensor parallelism for the CLIP towers over `axis`:
+def clip_tp_spec(clip_params, mesh: Mesh, axis: str = "model"):
+    """Sharding SPEC (pytree of NamedShardings matching `clip_params`) for
+    Megatron-style tensor parallelism of the CLIP towers over `axis`:
     MLP c_fc column-split / c_proj row-split, attention QKV head-split /
-    out-proj row-split. GSPMD inserts the (single) psum per block. Gives the
-    scoring tower a model axis on 2-D meshes; the generator stays replicated
-    (its per-population batch parallelism dominates)."""
+    out-proj row-split. GSPMD inserts the (single) psum per block."""
+    rep = NamedSharding(mesh, P())
     if axis not in mesh.axis_names:
-        return jax.device_put(clip_params, NamedSharding(mesh, P()))
+        return jax.tree.map(lambda _: rep, clip_params)
+
+    rules = {
+        "mlp": {"c_fc_weight": P(None, None, axis), "c_fc_bias": P(None, axis),
+                "c_proj_weight": P(None, axis, None), "c_proj_bias": P()},
+        "attn": {"in_proj_weight": P(None, None, axis), "in_proj_bias": P(None, axis),
+                 "out_proj_weight": P(None, axis, None), "out_proj_bias": P()},
+    }
 
     def towers(tp):
-        rules = {
-            "mlp": {"c_fc_weight": P(None, None, axis), "c_fc_bias": P(None, axis),
-                    "c_proj_weight": P(None, axis, None), "c_proj_bias": P()},
-            "attn": {"in_proj_weight": P(None, None, axis), "in_proj_bias": P(None, axis),
-                     "out_proj_weight": P(None, axis, None), "out_proj_bias": P()},
-        }
         out = {}
         for k, v in tp.items():
             if k == "blocks":
                 out[k] = {
-                    grp: {name: jax.device_put(arr, NamedSharding(mesh, rules.get(grp, {}).get(name, P())))
-                          for name, arr in sub.items()}
+                    grp: {name: NamedSharding(
+                        mesh, rules.get(grp, {}).get(name, P()))
+                        for name in sub}
                     for grp, sub in v.items()
                 }
             else:
-                out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+                out[k] = jax.tree.map(lambda _: rep, v)
         return out
 
     return {
         "visual": towers(clip_params["visual"]),
         "text": towers(clip_params["text"]),
-        "logit_scale": jax.device_put(clip_params["logit_scale"],
-                                      NamedSharding(mesh, P())),
+        "logit_scale": rep,
     }
+
+
+def shard_clip_tp(clip_params, mesh: Mesh, axis: str = "model"):
+    """Place the CLIP params tensor-parallel over `axis` (see clip_tp_spec).
+    The scoring tower gets a model axis on 2-D meshes; the generator stays
+    replicated (its per-population batch parallelism dominates)."""
+    spec = clip_tp_spec(clip_params, mesh, axis)
+    return jax.tree.map(jax.device_put, clip_params, spec)
 
 
 def shard_state(state, mesh: Mesh):
