@@ -17,9 +17,11 @@ layout views to [B,4,4,C]); nearest-neighbor 2x upsampling via reshape
 broadcast; spectral norm is folded into effective weights at conversion
 (eval-time spectral_norm is a constant per-weight scale).
 
-No oracle package is available in this environment, so tests cover
-structural invariants + determinism; converter targets the HF state-dict
-layout (weight_orig/weight_u/weight_v) for real checkpoints.
+Numerical parity is tested against a test-local transcription of the
+package's public model code (tests/biggan_hf_oracle.py) on synthetic
+checkpoints in the exact HF state-dict layout (weight_orig/weight_u/weight_v
+spectral-norm triplets, [n_stats, C] running stats), at on-grid and off-grid
+truncations — see tests/test_biggan.py.
 """
 
 from __future__ import annotations

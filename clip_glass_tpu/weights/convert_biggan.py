@@ -8,9 +8,10 @@ shaped [n_stats, C]). Spectral norm is folded at conversion: eval-time
 torch spectral_norm computes W / sigma with sigma = u^T W v from the stored
 power-iteration vectors — a constant scale we bake into the weight.
 
-NOTE: validated structurally; numerical validation against the real pip
-package requires an environment where it is installed (SURVEY.md hard
-part #2).
+Validated numerically against a transcription of the package's public model
+code on synthetic HF-layout checkpoints (tests/biggan_hf_oracle.py +
+tests/test_biggan.py), including the spectral-norm sigma folding vs torch's
+own spectral_norm computation (SURVEY.md hard part #2).
 """
 
 from __future__ import annotations
