@@ -36,7 +36,10 @@ def sbx(key, x1: jnp.ndarray, x2: jnp.ndarray, xl, xu, eta: float = 3.0,
 
     y1 = jnp.minimum(x1, x2)
     y2 = jnp.maximum(x1, x2)
-    delta = y2 - y1 + _EPS
+    # pymoo floors the spread at 1e-10 and uses the FLOORED value both as the
+    # beta denominator and in the betaq*delta products (near-equal genes are
+    # masked out by `distinct` anyway)
+    delta = jnp.maximum(y2 - y1, 1.0e-10)
     rand = jax.random.uniform(k_beta, (m, n_var))
 
     def betaq(beta):
@@ -46,9 +49,9 @@ def sbx(key, x1: jnp.ndarray, x2: jnp.ndarray, xl, xu, eta: float = 3.0,
         return jnp.where(rand <= 1.0 / alpha, lo, hi)
 
     beta1 = 1.0 + 2.0 * (y1 - xl) / delta
-    c1 = 0.5 * ((y1 + y2) - betaq(beta1) * (y2 - y1))
+    c1 = 0.5 * ((y1 + y2) - betaq(beta1) * delta)
     beta2 = 1.0 + 2.0 * (xu - y2) / delta
-    c2 = 0.5 * ((y1 + y2) + betaq(beta2) * (y2 - y1))
+    c2 = 0.5 * ((y1 + y2) + betaq(beta2) * delta)
 
     swap = jax.random.uniform(k_swap, (m, n_var)) <= 0.5
     c1s = jnp.where(swap, c2, c1)

@@ -48,7 +48,11 @@ def crowding_distance(F: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
 
     Per objective: sort front members, gap to sorted neighbors normalized by
     the front's objective range (0 when the range collapses), boundaries inf;
-    total = mean over objectives.
+    total = mean over objectives. Replicates pymoo's duplicate handling
+    (calc_crowding_distance's `index_dist_is_zero` loops): a zero gap
+    inherits the nearest NONZERO gap in sort order, so duplicated objective
+    values share the distance to the adjacent distinct values instead of
+    crowding each other out.
     """
     n, n_obj = F.shape
 
@@ -70,6 +74,17 @@ def crowding_distance(F: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
 
         gap_prev = jnp.where(same_prev, f_sorted - prev_val, jnp.inf)
         gap_next = jnp.where(same_next, next_val - f_sorted, jnp.inf)
+
+        # pymoo duplicate quirk: zero gaps inherit the nearest nonzero gap
+        # (forward fill for gap_prev, backward fill for gap_next). Front
+        # boundaries are inf, so fills never cross fronts.
+        idx = jnp.arange(n)
+        last_nz = lax.cummax(jnp.where(gap_prev != 0, idx, -1))
+        gap_prev = gap_prev[jnp.maximum(last_nz, 0)]
+        next_nz = n - 1 - lax.cummax(
+            jnp.where(gap_next[::-1] != 0, idx, -1))[::-1]
+        gap_next = gap_next[jnp.minimum(next_nz, n - 1)]
+
         # norm == 0: constant objective inside the front -> contribution 0
         # (pymoo sets norm=nan then zeroes the resulting nans; inf boundaries
         # in such fronts also become 0 for this objective)
