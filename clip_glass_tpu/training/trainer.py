@@ -55,6 +55,12 @@ class TrainerConfig:
     pl_weight: float = 2.0
     pl_decay: float = 0.01
     style_mix_prob: float = 0.9    # reference train.py:130-131
+    # Gradient-accumulation subdivisions (reference train.py:432-463,
+    # 505-544): each optimizer step averages the grads of `subdivisions`
+    # sequential micro-batches of batch_size/subdivisions — big effective
+    # batches on small per-step memory. On TPU the accumulation is a
+    # lax.scan inside the one jitted step.
+    subdivisions: int = 1
     ema_beta: float = 0.999        # Gs moving average (reference train.py:293-302)
     checkpoint_dir: str = "./checkpoints"
     checkpoint_every: int = 10000  # in seen images (reference train.py:668-674)
@@ -189,17 +195,32 @@ class Trainer:
                 synth, g_params, dl, k_y, pl_avg, cfg.pl_decay, cfg.pl_weight)
             return pen * cfg.g_reg_interval, new_avg
 
+        S = max(1, int(cfg.subdivisions))
+
+        def _accum(fn, xs_tree):
+            return accumulate_value_and_grads(fn, xs_tree, S)
+
         def step(state: TrainState, reals):
             key, kd, kg, kdr, kgr = jax.random.split(state.key, 5)
             batch = reals.shape[0]
+            if batch % S:
+                raise ValueError(f"batch {batch} not divisible by "
+                                 f"subdivisions {S}")
+            sub = batch // S
+            reals_s = reals.reshape((S, sub) + reals.shape[1:])
 
             # ---- D phase
-            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
-                state.d_params, state.g_params, reals, kd)
+            d_loss, d_grads = _accum(
+                lambda xs: jax.value_and_grad(d_loss_fn)(
+                    state.d_params, state.g_params, xs[0], xs[1]),
+                (reals_s, jax.random.split(kd, S)))
             do_d_reg = (state.step % cfg.d_reg_interval) == 0
 
             def with_r1(g):
-                r1_grads = jax.grad(d_reg_fn)(state.d_params, reals)
+                _, r1_grads = _accum(
+                    lambda xs: (jnp.zeros(()),
+                                jax.grad(d_reg_fn)(state.d_params, xs)),
+                    reals_s)
                 return jax.tree.map(jnp.add, g, r1_grads)
 
             d_grads = jax.lax.cond(do_d_reg, with_r1, lambda g: g, d_grads)
@@ -208,16 +229,28 @@ class Trainer:
             d_params = optax.apply_updates(state.d_params, d_updates)
 
             # ---- G phase
-            g_loss, g_grads = jax.value_and_grad(g_loss_fn)(
-                state.g_params, d_params, batch, kg)
+            g_loss, g_grads = _accum(
+                lambda k: jax.value_and_grad(g_loss_fn)(
+                    state.g_params, d_params, sub, k),
+                jax.random.split(kg, S))
             do_g_reg = (state.step % cfg.g_reg_interval) == 0
 
             def with_pl(args):
                 g, avg = args
-                (pen, new_avg), pl_grads = jax.value_and_grad(
-                    lambda p: g_reg_fn(p, batch, kgr, avg), has_aux=True)(
-                        state.g_params)
-                return jax.tree.map(jnp.add, g, pl_grads), new_avg
+                # pl_avg updates sequentially through the subdivisions, as in
+                # the reference's per-subdivision backward calls
+                def body(carry, k):
+                    gacc, a = carry
+                    (pen, new_a), pl_grads = jax.value_and_grad(
+                        lambda p: g_reg_fn(p, sub, k, a), has_aux=True)(
+                            state.g_params)
+                    return (jax.tree.map(jnp.add, gacc, pl_grads), new_a), None
+
+                zero_g = jax.tree.map(jnp.zeros_like, g)
+                (pl_g, new_avg), _ = jax.lax.scan(
+                    body, (zero_g, avg), jax.random.split(kgr, S))
+                pl_g = jax.tree.map(lambda x: x / S, pl_g)
+                return jax.tree.map(jnp.add, g, pl_g), new_avg
 
             g_grads, pl_avg = jax.lax.cond(
                 do_g_reg, with_pl, lambda a: a, (g_grads, state.pl_avg))
@@ -240,17 +273,25 @@ class Trainer:
     # ------------------------------------------------------------ driving
 
     def train(self, data: Iterator[np.ndarray], iterations: int,
-              log_every: int = 0, logger: Optional[Callable] = None):
+              log_every: int = 0, logger: Optional[Callable] = None,
+              sinks=None):
         """data yields [B, 3, H, W] arrays in [-1, 1] (reference
-        train.py:465-677). Returns the last logs dict."""
+        train.py:465-677). `sinks` is an optional training.logging.TrainLogger
+        (tensorboard-equivalent scalar CSV + fixed-latent image grids,
+        reference train.py:620-635, 761-777). Returns the last logs dict."""
         logs = {}
         for it in range(iterations):
             reals = jnp.asarray(next(data))
             self.state, logs = self._train_step(self.state, reals)
-            seen = int(self.state.step) * self.cfg.batch_size
+            step = int(self.state.step)
+            seen = step * self.cfg.batch_size
             if log_every and (it + 1) % log_every == 0:
                 vals = {k: float(v) for k, v in logs.items()}
-                (logger or (lambda s, v: print(f"[{s}] {v}")))(int(self.state.step), vals)
+                (logger or (lambda s, v: print(f"[{s}] {v}")))(step, vals)
+                if sinks is not None:
+                    sinks.log_scalars(vals, step)
+            if sinks is not None:
+                sinks.maybe_log_images(self, step)
             if self.cfg.checkpoint_every and seen % self.cfg.checkpoint_every == 0:
                 self.save_checkpoint()
         return logs
@@ -317,6 +358,24 @@ class Trainer:
             if int(name) > best_seen:
                 best, best_seen = path, int(name)
         return best
+
+
+def accumulate_value_and_grads(fn, xs_tree, S: int):
+    """Mean of `fn`'s (value, grads) over S subdivision chunks — gradient
+    accumulation (reference train.py:432-463, 505-544) as a lax.scan running
+    sum, so peak memory is ONE chunk's activations. `xs_tree` leaves carry a
+    leading S dimension; `fn(chunk)` returns (scalar, grad-pytree)."""
+    def body(carry, xs):
+        acc_v, acc_g = carry
+        v, g = fn(xs)
+        return (acc_v + v, jax.tree.map(jnp.add, acc_g, g)), None
+
+    v0, g0 = fn(jax.tree.map(lambda x: x[0], xs_tree))
+    if S == 1:
+        return v0, g0
+    (v, g), _ = jax.lax.scan(
+        body, (v0, g0), jax.tree.map(lambda x: x[1:], xs_tree))
+    return v / S, jax.tree.map(lambda x: x / S, g)
 
 
 def _opt_to_tree(opt_state):

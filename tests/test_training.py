@@ -131,3 +131,77 @@ def test_trainer_config_json_overlay(tmp_path):
     loaded = TrainerConfig.from_json(p, d_lr=5e-4)
     assert loaded.batch_size == 6 and loaded.g_lr == 1e-3
     assert loaded.d_lr == 5e-4  # override wins
+
+
+# ------------------------------------------------------------ subdivisions
+
+def test_accumulate_value_and_grads_is_exact_chunk_mean():
+    """Gradient-accumulation subdivisions (reference train.py:432-463): the
+    lax.scan accumulation must be EXACTLY the mean of per-chunk
+    value_and_grad results — verified on a deterministic loss with
+    per-chunk data and keys."""
+    from clip_glass_tpu.training.trainer import accumulate_value_and_grads
+
+    params = {"w": jnp.asarray([[1.0, -2.0], [0.5, 3.0]]),
+              "b": jnp.asarray([0.1, -0.3])}
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(4, 8, 2)), jnp.float32)  # 4 chunks of 8
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+
+    def loss(p, x, k):
+        noise = jax.random.normal(k, x.shape[:1])
+        y = jnp.tanh(x @ p["w"] + p["b"])
+        return jnp.mean((y[:, 0] - noise) ** 2 + 0.1 * y[:, 1] ** 2)
+
+    fn = lambda xs: jax.value_and_grad(loss)(params, xs[0], xs[1])
+    v, g = jax.jit(lambda xt: accumulate_value_and_grads(fn, xt, 4))(
+        (X, keys))
+
+    vs, gs = zip(*[jax.value_and_grad(loss)(params, X[i], keys[i])
+                   for i in range(4)])
+    np.testing.assert_allclose(float(v), np.mean([float(x) for x in vs]),
+                               rtol=1e-6)
+    want = jax.tree.map(lambda *a: sum(a) / 4, *gs)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # S=1 passthrough
+    v1, g1 = accumulate_value_and_grads(fn, (X[:1], keys[:1]), 1)
+    np.testing.assert_allclose(float(v1), float(vs[0]), rtol=1e-6)
+
+
+def test_subdivided_training_runs_and_checks_divisibility():
+    cfg = TrainerConfig(batch_size=4, subdivisions=2, checkpoint_every=0)
+    tr = Trainer(model_cfg=sg2.TINY, cfg=cfg)
+    logs = tr.train(_data(), iterations=2)
+    assert np.isfinite(float(logs["d_loss"]))
+    assert np.isfinite(float(logs["g_loss"]))
+    with pytest.raises(ValueError, match="divisible"):
+        bad = Trainer(model_cfg=sg2.TINY,
+                      cfg=TrainerConfig(batch_size=4, subdivisions=3,
+                                        checkpoint_every=0))
+        bad.train(_data(), iterations=1)
+
+
+# ------------------------------------------------------------ logging sinks
+
+def test_scalar_and_image_sinks(tmp_path):
+    from clip_glass_tpu.training.logging import TrainLogger
+
+    run_dir = str(tmp_path / "run")
+    sinks = TrainLogger(run_dir, image_every=2, n_image_latents=4)
+    cfg = TrainerConfig(batch_size=4, checkpoint_every=0)
+    tr = Trainer(model_cfg=sg2.TINY, cfg=cfg)
+    tr.train(_data(), iterations=4, log_every=1,
+             logger=lambda s, v: None, sinks=sinks)
+
+    rows = sinks.scalars.read()
+    steps = sorted({s for s, _, _ in rows})
+    tags = {t for _, t, _ in rows}
+    assert steps == [1, 2, 3, 4]
+    assert {"d_loss", "g_loss", "pl_avg"} <= tags
+    assert all(np.isfinite(v) for _, _, v in rows)
+
+    import os
+    imgs = sorted(f for f in os.listdir(run_dir) if f.endswith(".jpg"))
+    assert imgs == ["fakes_2.jpg", "fakes_4.jpg"]
