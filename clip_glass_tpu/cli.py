@@ -130,7 +130,6 @@ def main(argv=None) -> int:
 
     def save_callback(state):
         gen = int(state.gen)
-        meter.update(0)  # rate computed from generation counter below
         X = np.asarray(state.X)
         if config.n_obj == 1:  # sorted by fitness (reference run.py:36-38)
             X = X[np.argsort(np.asarray(state.F)[:, 0])]
@@ -139,7 +138,7 @@ def main(argv=None) -> int:
                 else f"genetic-it-final.{ext}")
         problem.generator.save(generated, os.path.join(config.tmp_folder, name))
         save_state(state, config.tmp_folder, config.name)
-        meter._gens = gen
+        meter.set_generation(gen)
         if args.verbose and meter.gens_per_sec > 0:
             print(f"  rate: {meter.gens_per_sec:.2f} gen/s "
                   f"({meter.candidates_per_sec:.1f} candidates/s)")

@@ -87,6 +87,11 @@ class GenerationMeter:
     def update(self, n_gens: int = 1):
         self._gens += n_gens
 
+    def set_generation(self, gen: int):
+        """Pin the absolute generation counter (resumed searches / chunked
+        drivers that learn the count from the GA state)."""
+        self._gens = int(gen)
+
     @property
     def gens_per_sec(self) -> float:
         dt = time.perf_counter() - self._t0

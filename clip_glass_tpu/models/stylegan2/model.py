@@ -364,20 +364,71 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
     return jnp.transpose(y, (0, 3, 1, 2))  # NHWC -> NCHW (reference layout)
 
 
-def generator_apply(params, latents, cfg: SG2Config = CONFIG_F,
+def distribute_latents(dlatents, num_layers: int,
+                       latent_to_layer_idx=None, key=None):
+    """Expand [B, N, D] per-sample latents to [B, num_layers, D] (reference
+    stylegan2/models.py:425-458): N == 1 broadcasts; N == num_layers passes
+    through; otherwise each latent covers a span of consecutive layers —
+    either random spans (the reference's np.random.choice cutoffs; `key`
+    supplies the randomness here) or the explicit per-layer index list
+    `latent_to_layer_idx` (reference models.py:452-458)."""
+    B, N, D = dlatents.shape
+    if N == 1:
+        return jnp.broadcast_to(dlatents, (B, num_layers, D))
+    if latent_to_layer_idx is not None:
+        idx = jnp.asarray(latent_to_layer_idx)
+        if idx.shape[0] != num_layers:
+            raise ValueError(f"latent_to_layer_idx has {idx.shape[0]} entries"
+                             f" for {num_layers} layers")
+        return dlatents[:, idx]
+    if N == num_layers:
+        return dlatents
+    if N > num_layers:
+        raise ValueError(f"more latents ({N}) than layers ({num_layers})")
+    assert key is not None, "mixing N<num_layers latents needs a PRNG key"
+    cut = jnp.sort(jax.random.permutation(key, jnp.arange(1, num_layers))[:N - 1])
+    layer = jnp.arange(num_layers)
+    idx = jnp.sum(layer[:, None] >= cut[None, :], axis=1)
+    return dlatents[:, idx]
+
+
+def generator_apply(params, latents=None, cfg: SG2Config = CONFIG_F,
                     labels=None, truncation_psi: float = 1.0,
                     truncation_cutoff: Optional[int] = None,
                     noise="random", noise_key=None, policy: Policy = FP32,
-                    output_s2d: bool = False):
-    """Full G: z -> mapping -> broadcast to num_latents -> (truncate) ->
+                    output_s2d: bool = False, dlatents=None,
+                    latent_to_layer_idx=None, mix_key=None):
+    """Full G: z -> mapping -> distribute to num_latents -> (truncate) ->
     synthesis (reference stylegan2/models.py:326-482). The CLIP-GLaSS search
     path calls G(z) with no truncation configured (reference models.py:108-118;
-    set_truncation() defaults disable it)."""
-    w = mapping_apply(params["mapping"], latents, cfg, labels, policy)
-    dlatents = jnp.repeat(w[:, None, :], cfg.num_latents, axis=1)
-    dlatents = truncate(dlatents, params["dlatent_avg"], truncation_psi,
-                        truncation_cutoff)
-    return synthesis_apply(params["synthesis"], dlatents, cfg,
+    set_truncation() defaults disable it).
+
+    Reference input surface (models.py:380-458): `latents` may be [B, D] or
+    multi-latent [B, N, D] (style mixing — each latent mapped through
+    G_mapping and assigned a span of layers, see distribute_latents);
+    `dlatents` bypasses the mapping AND truncation (truncation applies only
+    when dlatents are not explicitly given, models.py:469-471)."""
+    if dlatents is None:
+        assert latents is not None, "latents or dlatents required"
+        if latents.ndim == 3:
+            B, N, D = latents.shape
+            flat_labels = (jnp.repeat(labels, N) if labels is not None
+                           else None)
+            w = mapping_apply(params["mapping"], latents.reshape(B * N, D),
+                              cfg, flat_labels, policy).reshape(B, N, -1)
+        else:
+            w = mapping_apply(params["mapping"], latents, cfg, labels,
+                              policy)[:, None, :]
+        dl = distribute_latents(w, cfg.num_latents, latent_to_layer_idx,
+                                mix_key)
+        dl = truncate(dl, params["dlatent_avg"], truncation_psi,
+                      truncation_cutoff)
+    else:
+        if dlatents.ndim == 2:
+            dlatents = dlatents[:, None, :]
+        dl = distribute_latents(dlatents, cfg.num_latents,
+                                latent_to_layer_idx, mix_key)
+    return synthesis_apply(params["synthesis"], dl, cfg,
                            noise=noise, noise_key=noise_key, policy=policy,
                            output_s2d=output_s2d)
 

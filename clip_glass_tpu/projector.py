@@ -54,13 +54,35 @@ class ProjectorConfig:
     seed: int = 0
 
 
+def lpips_distance(lpips_params, policy=None):
+    """Projector-compatible perceptual distance from LPIPS-VGG16 params
+    (reference project.py:166-168 builds exactly this: LPIPS eval on
+    [0, 1]-range images). Pass the converted pretrained params — or
+    random-init params from metrics.lpips.init for integration testing."""
+    from clip_glass_tpu.core.dtypes import FP32
+    from clip_glass_tpu.metrics.lpips import lpips
+
+    pol = policy or FP32
+
+    def distance(a, b):
+        return lpips(lpips_params, a, b, pixel_min=0.0, pixel_max=1.0,
+                     policy=pol)
+
+    return distance
+
+
 class Projector:
     def __init__(self, g_params, model_cfg: sg2.SG2Config,
                  distance: Optional[Callable] = None,
-                 cfg: ProjectorConfig = None):
+                 cfg: ProjectorConfig = None, lpips_params=None):
+        """`lpips_params` switches the perceptual distance to LPIPS-VGG16
+        (the reference's, stylegan2/project.py:239-295); otherwise
+        `distance` or the downsampled-L2 stand-in is used."""
         self.g_params = g_params
         self.model_cfg = model_cfg
         self.cfg = cfg or ProjectorConfig()
+        if lpips_params is not None:
+            distance = lpips_distance(lpips_params)
         self.distance = distance or downsampled_l2
 
         # dlatent statistics (reference project.py:60-97)

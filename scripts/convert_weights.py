@@ -11,6 +11,10 @@ Usage:
   python scripts/convert_weights.py stylegan2-tf stylegan2-ffhq.pkl   out_dir
   python scripts/convert_weights.py gpt2         gpt2-pytorch_model.bin out.npz
   python scripts/convert_weights.py biggan       biggan-deep-256.bin  out.npz
+
+Run with --urls to print the checkpoint acquisition table (every URL the
+reference's download-weights.sh / convert_from_tf.py / clip.py /
+pytorch_pretrained_biggan pipeline fetches from).
 """
 
 import argparse
@@ -19,9 +23,43 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Checkpoint acquisition table — where a user WITH egress obtains each
+# checkpoint this CLI converts (reference download-weights.sh:16-37,
+# stylegan2/convert_from_tf.py:12-38, clip/clip.py:18-21, and the
+# pytorch_pretrained_biggan hub layout). sha256 prefixes in the CLIP URLs
+# are verified by models/clip/api.py on load.
+WEIGHT_URLS = {
+    "clip ViT-B/32": "https://openaipublic.azureedge.net/clip/models/"
+                     "40d365715913c9da98579312b702a82c18be219cc2a73407c4526f5"
+                     "8eba950af/ViT-B-32.pt",
+    "clip RN50": "https://openaipublic.azureedge.net/clip/models/"
+                 "afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc0"
+                 "4b6762/RN50.pt",
+    "gpt2 124M": "https://s3.amazonaws.com/models.huggingface.co/bert/"
+                 "gpt2-pytorch_model.bin",
+    "stylegan2-tf ffhq-config-f": "http://d36zk2xti64re0.cloudfront.net/"
+                                  "stylegan2/networks/stylegan2-ffhq-config-f.pkl",
+    "stylegan2-tf car-config-f": "http://d36zk2xti64re0.cloudfront.net/"
+                                 "stylegan2/networks/stylegan2-car-config-f.pkl",
+    "stylegan2-tf church-config-f": "http://d36zk2xti64re0.cloudfront.net/"
+                                    "stylegan2/networks/stylegan2-church-config-f.pkl",
+    "biggan biggan-deep-256": "https://s3.amazonaws.com/models.huggingface.co/"
+                              "biggan/biggan-deep-256-pytorch_model.bin",
+    "biggan biggan-deep-512": "https://s3.amazonaws.com/models.huggingface.co/"
+                              "biggan/biggan-deep-512-pytorch_model.bin",
+    "biggan biggan-deep-128": "https://s3.amazonaws.com/models.huggingface.co/"
+                              "biggan/biggan-deep-128-pytorch_model.bin",
+}
+
 
 def main() -> int:
-    p = argparse.ArgumentParser()
+    if "--urls" in sys.argv:
+        width = max(len(k) for k in WEIGHT_URLS)
+        for k, v in WEIGHT_URLS.items():
+            print(f"{k:{width}s}  {v}")
+        return 0
+    p = argparse.ArgumentParser(
+        epilog="use --urls to print the checkpoint acquisition table")
     p.add_argument("kind", choices=["clip", "stylegan2", "stylegan2-tf",
                                     "gpt2", "biggan"])
     p.add_argument("src")

@@ -75,3 +75,29 @@ def test_projector_reduces_distance(g_params):
     assert dlatents.shape == (1, sg2.TINY.num_latents, sg2.TINY.latent_size)
     assert imgs.shape == target.shape
     assert d1 < d0  # optimization made progress
+
+
+def test_projector_with_lpips_distance(g_params):
+    """The reference path (stylegan2/project.py:239-295: LPIPS perceptual
+    loss on [0,1] images) wired end to end, with random-init LPIPS weights
+    (pretrained weights are not fetchable in this environment)."""
+    from clip_glass_tpu.metrics import lpips as L
+
+    lp = L.init(jax.random.PRNGKey(2))
+    cfg = ProjectorConfig(num_steps=25, dlatent_samples=128, initial_lr=0.1)
+    proj = Projector(g_params, sg2.TINY, cfg=cfg, lpips_params=lp)
+
+    key = jax.random.PRNGKey(6)
+    z = jax.random.normal(key, (1, sg2.TINY.latent_size))
+    target = jnp.clip((sg2.generator_apply(g_params, z, sg2.TINY, noise="none")
+                       + 1.0) / 2.0, 0.0, 1.0)
+    d0 = float(jnp.sum(proj.distance(
+        jnp.clip((sg2.synthesis_apply(
+            g_params["synthesis"],
+            jnp.broadcast_to(proj.dlatent_avg[None, None, :],
+                             (1, sg2.TINY.num_latents, sg2.TINY.latent_size)),
+            sg2.TINY, noise="none") + 1.0) / 2.0, 0.0, 1.0), target)))
+    dlatents, imgs = proj.project(target, num_steps=25)
+    d1 = float(jnp.sum(proj.distance(imgs, target)))
+    assert np.isfinite(d0) and np.isfinite(d1)
+    assert d1 < d0  # the LPIPS objective itself went down

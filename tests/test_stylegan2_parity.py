@@ -130,3 +130,59 @@ def test_discriminator_parity(disc):
     )(params, jnp.asarray(imgs)))
     assert got.shape == want.shape == (4, 1)
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+# ------------------------------------------------------------ latent surface
+
+def test_generator_multi_latent_surface():
+    """Reference input surface (stylegan2/models.py:380-458): [B, N, D]
+    style-mixing latents, explicit latent_to_layer_idx, direct dlatents
+    (which bypass truncation), and span distribution semantics."""
+    import jax
+    from clip_glass_tpu.models.stylegan2.model import distribute_latents
+
+    cfg = sg2.TINY
+    gp = sg2.generator_init(jax.random.PRNGKey(0), cfg)
+    noise = [jax.random.normal(k, s) for k, s in zip(
+        jax.random.split(jax.random.PRNGKey(7), len(cfg.noise_shapes())),
+        cfg.noise_shapes())]
+    n = cfg.num_latents
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.latent_size))
+
+    # [B, 1, D] multi-latent == [B, D] single latent
+    a = sg2.generator_apply(gp, z, cfg, noise=noise)
+    b = sg2.generator_apply(gp, z[:, None, :], cfg, noise=noise)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
+
+    # two latents with an explicit per-layer assignment: crossing over at
+    # layer k must equal manually assembled dlatents
+    z2 = jax.random.normal(jax.random.PRNGKey(2), (2, 2, cfg.latent_size))
+    k = n // 2
+    idx = [0] * k + [1] * (n - k)
+    mixed = sg2.generator_apply(gp, z2, cfg, noise=noise,
+                                latent_to_layer_idx=idx)
+    w = sg2.mapping_apply(gp["mapping"], z2.reshape(4, -1), cfg).reshape(2, 2, -1)
+    dl = jnp.concatenate([jnp.repeat(w[:, :1], k, 1),
+                          jnp.repeat(w[:, 1:], n - k, 1)], axis=1)
+    want = sg2.synthesis_apply(gp["synthesis"], dl, cfg, noise=noise)
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # random span distribution: jittable, covers all layers with valid spans
+    d3 = jax.random.normal(jax.random.PRNGKey(3), (2, 3, 16))
+    out = distribute_latents(d3, n, key=jax.random.PRNGKey(4))
+    assert out.shape == (2, n, 16)
+    # each layer's row must be one of the 3 latents, assigned as sorted
+    # consecutive spans starting at latent 0 and covering all three
+    row = out[0]
+    ids = [int(np.argmax([np.allclose(row[i], d3[0, j]) for j in range(3)]))
+           for i in range(n)]
+    assert ids[0] == 0 and ids == sorted(ids) and set(ids) == {0, 1, 2}
+
+    # direct dlatents bypass truncation: psi has no effect
+    dlat = jax.random.normal(jax.random.PRNGKey(5), (2, n, cfg.latent_size))
+    c = sg2.generator_apply(gp, dlatents=dlat, cfg=cfg, noise=noise,
+                            truncation_psi=0.5)
+    d = sg2.generator_apply(gp, dlatents=dlat, cfg=cfg, noise=noise)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
