@@ -353,7 +353,20 @@ class Generator:
     def host_eval_population(self, X, bundle=None, key=None) -> jnp.ndarray:
         """Host-staged img2txt fitness: same math as eval_population, with
         the BPE round trip between two jitted programs instead of a
-        pure_callback inside one."""
+        pure_callback inside one.
+
+        With config.eval_microbatch set, the population decodes in chunks,
+        ALL dispatched to the device up front: JAX async dispatch keeps the
+        device decoding chunk c+1 while the host runs the GPT-2->CLIP BPE
+        round trip on chunk c's tokens (SURVEY.md hard part #6). MEASURED
+        NEGATIVE by default on a v5e: the 30-token decode is a sequential
+        scan whose wall-clock MULTIPLIES with chunk count (pop 100: decode
+        251 ms, host BPE 66 ms; 4 chunks -> 317 -> 230 cand/s), so the
+        overlap can hide at most the 66 ms BPE while costing ~250 ms of
+        extra scan steps. Default = whole population in one decode; the
+        chunked pipeline remains for memory-bound pops (huge pop_size or
+        long max_tokens_len), where chunking is forced anyway and the
+        enqueue-all-then-tokenize order makes the BPE free."""
         bundle = bundle if bundle is not None else self.bundle
         if not hasattr(self, "_host_gen_jit"):
             self._host_gen_jit = jax.jit(
@@ -364,11 +377,34 @@ class Generator:
                 sim = jnp.where(ok, _cosine(feats, b["target"]), 0.0)
                 return (-sim[:, None]).astype(jnp.float32)
             self._host_score_jit = jax.jit(_score)
-        ids = self._host_gen_jit(X, bundle,
-                                 key if key is not None
-                                 else jax.random.PRNGKey(self.config.seed))
-        toks, ok = self._texts_to_clip_tokens(np.asarray(ids))
-        return self._host_score_jit(jnp.asarray(toks), jnp.asarray(ok), bundle)
+        key = key if key is not None else jax.random.PRNGKey(self.config.seed)
+
+        pop = X.shape[0]
+        mb = self.config.eval_microbatch or pop
+        if pop % mb:
+            mb = pop
+        n_chunks = pop // mb
+        if n_chunks <= 1:
+            ids = self._host_gen_jit(X, bundle, key)
+            toks, ok = self._texts_to_clip_tokens(np.asarray(ids))
+            return self._host_score_jit(jnp.asarray(toks), jnp.asarray(ok),
+                                        bundle)
+
+        keys = jax.random.split(key, n_chunks)
+        # enqueue every decode chunk first (device queue runs them back to
+        # back), then fence + tokenize in order: chunk c's host BPE overlaps
+        # the device decode of chunks c+1..n
+        ids_chunks = [self._host_gen_jit(X[c * mb:(c + 1) * mb], bundle,
+                                         keys[c]) for c in range(n_chunks)]
+        toks, oks = zip(*(self._texts_to_clip_tokens(np.asarray(ids))
+                          for ids in ids_chunks))
+        ok = np.concatenate(oks)
+        if not ok.all():
+            # the reference zeroes the WHOLE population when any caption
+            # overflows the CLIP context (reference generator.py:53-56)
+            ok = np.zeros_like(ok)
+        return self._host_score_jit(jnp.asarray(np.concatenate(toks)),
+                                    jnp.asarray(ok), bundle)
 
     @property
     def _s2d_active(self) -> bool:

@@ -53,3 +53,24 @@ def test_host_eval_search_runs(problem, monkeypatch):
 
 def test_backend_probe_is_bool():
     assert isinstance(backend.supports_host_callbacks(), bool)
+
+def test_host_eval_chunked_pipeline_matches_unchunked():
+    """The chunked decode/BPE pipeline (eval_microbatch; all chunks enqueued
+    before tokenizing, so host BPE overlaps later chunks' device decode)
+    returns the same fitness as the whole-population path for the
+    deterministic argmax decode (reference stochastic=False)."""
+    cfg = get_config("GPT2").replace(
+        pop_size=8, batch_size=8, dim_z=6, n_var=6, max_tokens_len=5,
+        weights="random:0", target=DOG, compute_dtype="float32")
+    p_full = GenerationProblem(cfg, clip_cfg=clip_model.TINY,
+                               model_cfg=g2.TINY)
+    p_mb = GenerationProblem(cfg.replace(eval_microbatch=4),
+                             clip_cfg=clip_model.TINY, model_cfg=g2.TINY)
+    X = jnp.asarray(np.random.default_rng(1).integers(0, 50256, (8, 6)),
+                    jnp.float32)
+    key = jax.random.PRNGKey(3)
+    want = np.asarray(p_full.generator.host_eval_population(
+        X, p_full.generator.bundle, key))
+    got = np.asarray(p_mb.generator.host_eval_population(
+        X, p_mb.generator.bundle, key))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
