@@ -48,7 +48,9 @@ def main():
     # budget evaluate in on-device chunks (lax.map), like the reference's
     # minibatch loops (reference models.py:108-118, config.py:86)
     mb = os.environ.get("BENCH_MICROBATCH")
-    safe = {"StyleGAN2": 16, "DeepMindBigGAN512": 32}.get(
+    # pop 32 fits single-batch at 1024px since the s2d domain removed the
+    # full-resolution intermediates; 32 is also the fastest measured chunk
+    safe = {"StyleGAN2": 32, "DeepMindBigGAN512": 32}.get(
         "StyleGAN2" if name.startswith("StyleGAN2") else name)
     if mb:
         config = config.replace(eval_microbatch=int(mb))

@@ -33,10 +33,15 @@ def bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+@lru_cache(maxsize=None)
 def _is_letter(ch: str) -> bool:
+    # per-codepoint memoization: the category lookup dominates the scanner's
+    # host time on the img2txt hot path (pop captions re-tokenized per
+    # generation); real text reuses a small alphabet
     return unicodedata.category(ch).startswith("L")
 
 
+@lru_cache(maxsize=None)
 def _is_number(ch: str) -> bool:
     return unicodedata.category(ch).startswith("N")
 

@@ -28,6 +28,9 @@ class GPT2Tokenizer:
         self.errors = errors
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        # C-speed decode: map token-chars to latin-1 chars of the byte value
+        self._decode_trans = str.maketrans(
+            {c: chr(b) for c, b in self.byte_decoder.items()})
         with open(vocab_path, "r", encoding="utf-8") as f:
             bpe_data = f.read()
         merges = [tuple(line.split()) for line in bpe_data.split("\n")[1:-1]]
@@ -71,8 +74,8 @@ class GPT2Tokenizer:
 
     def decode(self, ids: List[int]) -> str:
         text = "".join(self.decoder.get(int(t), "") for t in ids)
-        return bytearray(self.byte_decoder[c] for c in text).decode(
-            "utf-8", errors=self.errors)
+        return text.translate(self._decode_trans).encode(
+            "latin-1").decode("utf-8", errors=self.errors)
 
 
 @lru_cache()
