@@ -66,6 +66,10 @@ class SG2Config:
     # 512 = config-f's 32-64 channel levels, where the plain layout runs at
     # ~7% of the HBM roofline on TPU (measured). 2**30 disables.
     s2d_min_res: int = 512
+    # Alternate the s2d lattice offset (0 <-> -1) between consecutive convs
+    # so every same-res 3x3 folds to a [2,2] kernel instead of [3,3] — a
+    # 2.25x MAC cut on the dominant high-res convs (ops/s2d.py docstring).
+    s2d_offsets: bool = True
 
     @property
     def n_blocks(self) -> int:
@@ -250,6 +254,13 @@ def _s2d_supported(cfg: SG2Config) -> bool:
     return cfg.kernel_size == 3 and len(cfg.filter_taps) == 4
 
 
+def s2d_output_offset(cfg: SG2Config) -> int:
+    """Lattice offset of the tensor synthesis_apply(output_s2d=True) returns
+    (and discriminator_apply(input_s2d=True) expects as input_offset)."""
+    return -1 if (cfg.s2d_offsets and _s2d_supported(cfg)
+                  and cfg.resolution >= cfg.s2d_min_res) else 0
+
+
 def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
                     noise="random", noise_key=None, policy: Policy = FP32,
                     output_s2d: bool = False):
@@ -272,6 +283,7 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
                          (B,) + params["const"].shape)
     y = None
     x_s2d = y_s2d = False
+    x_off = y_off = 0  # lattice offsets (0 or -1), see ops/s2d.py docstring
     res = cfg.base_size
     layer_idx = 0
     noise_idx = 0
@@ -293,8 +305,9 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
                     # one lhs_dilation=2 conv at the physical level
                     x = s2d_ops.s2d_modulated_conv2d_up(
                         x, lp["w"], style, demodulate=cfg.demodulate,
-                        filter_taps=taps, eps=cfg.eps, input_s2d=x_s2d)
-                    x_s2d = True
+                        filter_taps=taps, eps=cfg.eps, input_s2d=x_s2d,
+                        in_off=x_off)
+                    x_s2d, x_off = True, 0
                 else:
                     x = modulated_conv2d_up(x, policy.cast_compute(lp["w"]),
                                             style, demodulate=cfg.demodulate,
@@ -302,11 +315,15 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
             else:
                 if use_s2d and not x_s2d:
                     x = s2d_ops.s2d(x)
-                    x_s2d = True
+                    x_s2d, x_off = True, 0
                 if x_s2d:
+                    # alternate the lattice offset: every same-res conv
+                    # between opposite lattices folds to a [2,2] kernel
+                    out_off = (0 if x_off else -1) if cfg.s2d_offsets else 0
                     x = s2d_ops.s2d_modulated_conv2d(
                         x, lp["w"], style, demodulate=cfg.demodulate,
-                        eps=cfg.eps)
+                        eps=cfg.eps, in_off=x_off, out_off=out_off)
+                    x_off = out_off
                 else:
                     x = modulated_conv2d(x, policy.cast_compute(lp["w"]),
                                          style, demodulate=cfg.demodulate,
@@ -315,7 +332,7 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
             if nz is not None:
                 scale = policy.cast_compute(lp["noise_scale"])
                 if x_s2d:
-                    nz_s = s2d_ops.s2d_hw(policy.cast_compute(nz))
+                    nz_s = s2d_ops.s2d_hw(policy.cast_compute(nz), x_off)
                     Bs, Hh, Wh, C4 = x.shape
                     x = (x.reshape(Bs, Hh, Wh, 4, C4 // 4)
                          + scale * nz_s[None, :, :, :, None]
@@ -326,13 +343,19 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
             b = policy.cast_compute(lp["b"])
             x = bias_act(x, s2d_ops.tile_channels(b) if x_s2d else b,
                          act="lrelu")
+            if x_off:
+                # consumers' folded kernels assume zero phantoms; the mask
+                # fuses into the bias/act elementwise chain
+                x = s2d_ops.mask_phantoms(x)
         layer_idx += n_layers
 
         if y is not None:
             if x_s2d:
                 if y_s2d:  # s2d(res/2) -> s2d(res): re-enter from plain
-                    y = s2d_ops.un_s2d(y)
+                    y = s2d_ops.un_s2d_off(y, y_off)
                 y = s2d_ops.s2d_upsample2x(y, taps)
+                if x_off:  # match the ToRGB lattice (cheap: C = 4*data_ch)
+                    y = s2d_ops.shift_to_m1(y)
                 y_s2d = True
             else:
                 y = upsample2x(y, taps)
@@ -344,23 +367,32 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
                                       policy.cast_compute(rp["style"]["b"]))
             if x_s2d:
                 t = s2d_ops.s2d_modulated_conv2d(x, rp["w"], style,
-                                                 demodulate=False, eps=cfg.eps)
+                                                 demodulate=False, eps=cfg.eps,
+                                                 in_off=x_off, out_off=x_off)
             else:
                 t = modulated_conv2d(x, policy.cast_compute(rp["w"]), style,
                                      demodulate=False, eps=cfg.eps)
         else:
-            t = (s2d_ops.s2d_conv2d(x, rp["w"]) if x_s2d
+            t = (s2d_ops.s2d_conv2d(x, rp["w"], x_off, x_off) if x_s2d
                  else conv2d(x, policy.cast_compute(rp["w"])))
         rb = policy.cast_compute(rp["b"])
         t = bias_act(t, s2d_ops.tile_channels(rb) if x_s2d else rb,
                      act="linear")
         y = t if y is None else y + t
-        y_s2d = x_s2d
+        y_s2d, y_off = x_s2d, x_off
 
     if output_s2d:
-        return y if y_s2d else s2d_ops.s2d(y)
+        target = s2d_output_offset(cfg)
+        if not y_s2d:
+            y = s2d_ops.s2d(y)
+            y_off = 0
+        if y_off != target:  # only 0 -> -1 can occur (odd-layer blocks)
+            y = s2d_ops.shift_to_m1(y)
+        if target:  # contract: phantom entries of the returned image are 0
+            y = s2d_ops.mask_phantoms(y)
+        return y
     if y_s2d:
-        y = s2d_ops.un_s2d(y)
+        y = s2d_ops.un_s2d_off(y, y_off)
     return jnp.transpose(y, (0, 3, 1, 2))  # NHWC -> NCHW (reference layout)
 
 
@@ -435,32 +467,43 @@ def generator_apply(params, latents=None, cfg: SG2Config = CONFIG_F,
 
 def discriminator_apply(params, images, cfg: SG2Config = CONFIG_F,
                         labels=None, policy: Policy = FP32,
-                        input_s2d: bool = False):
+                        input_s2d: bool = False, input_offset: int = 0):
     """images: [B, C, H, W] in [-1, 1] -> score logits [B, 1]
     (reference stylegan2/models.py:1193-1230).
 
     input_s2d=True: `images` arrives as the s2d NHWC tensor produced by
-    synthesis_apply(output_s2d=True) — [B, H/2, W/2, 12] phase-major — and
-    the levels at resolution >= cfg.s2d_min_res run in the s2d domain
-    (fromRGB / conv0 on phase-composed kernels, the down convs folding back
-    to the plain lattice), so the full-res image never materializes."""
+    synthesis_apply(output_s2d=True) — phase-major, at lattice
+    `input_offset` (pass s2d_output_offset(cfg)) — and the levels at
+    resolution >= cfg.s2d_min_res run in the s2d domain (fromRGB / conv0 on
+    phase-composed kernels, the down convs folding back to the plain
+    lattice), so the full-res image never materializes. With cfg.s2d_offsets
+    the block convs alternate lattices: conv0 in -1 -> out 0 ([2,2]), the
+    down convs land back on -1, the composite skip shrinks to [3,3]."""
     from clip_glass_tpu.ops import s2d as s2d_ops
 
     taps = tuple(cfg.filter_taps)
     res_scale = 1.0 / math.sqrt(2.0)
     if input_s2d:
-        x = policy.cast_compute(images)  # NHWC s2d, phys res = H/2
-        res = 2 * images.shape[1]
+        x = policy.cast_compute(images)  # NHWC s2d
+        x_off = input_offset
+        res = s2d_ops.phys_size(images.shape[1], x_off)
     else:
         x = policy.cast_compute(jnp.transpose(images, (0, 2, 3, 1)))  # NHWC
         res = images.shape[2]
+        x_off = 0
     x_s2d = input_s2d
 
     fr = params["from_rgb"]
     if x_s2d:
-        x = s2d_ops.s2d_conv2d(x, fr["w"])
+        if cfg.s2d_offsets and x_off == 0 and res >= cfg.s2d_min_res:
+            # the offset chain wants the first conv0 input at lattice -1
+            x = s2d_ops.shift_to_m1(x)
+            x_off = -1
+        x = s2d_ops.s2d_conv2d(x, fr["w"], x_off, x_off)
         x = bias_act(x, s2d_ops.tile_channels(policy.cast_compute(fr["b"])),
                      act="lrelu")
+        if x_off:
+            x = s2d_ops.mask_phantoms(x)
     else:
         x = conv2d(x, policy.cast_compute(fr["w"]))
         x = bias_act(x, policy.cast_compute(fr["b"]), act="lrelu")
@@ -468,24 +511,29 @@ def discriminator_apply(params, images, cfg: SG2Config = CONFIG_F,
     for bp in params["blocks"]:
         use_s2d = x_s2d and _s2d_supported(cfg) and res >= cfg.s2d_min_res
         if x_s2d and not use_s2d:
-            x = s2d_ops.un_s2d(x)
-            x_s2d = False
+            x = s2d_ops.un_s2d_off(x, x_off)
+            x_s2d, x_off = False, 0
         inp = x
         if use_s2d:
             next_s2d = _s2d_supported(cfg) and res // 2 >= cfg.s2d_min_res
-            x = s2d_ops.s2d_conv2d(x, bp["conv0"]["w"])
+            next_off = -1 if (next_s2d and cfg.s2d_offsets) else 0
+            x = s2d_ops.s2d_conv2d(x, bp["conv0"]["w"], x_off, 0)
             x = bias_act(x, s2d_ops.tile_channels(
                 policy.cast_compute(bp["conv0"]["b"])), act="lrelu")
             x = s2d_ops.s2d_conv2d_down(x, bp["conv1"]["w"], filter_taps=taps,
-                                        output_s2d=next_s2d)
+                                        output_s2d=next_s2d,
+                                        in_off=0, out_off=next_off)
             b1 = policy.cast_compute(bp["conv1"]["b"])
             x = bias_act(x, s2d_ops.tile_channels(b1) if next_s2d else b1,
                          act="lrelu")
             proj = s2d_ops.s2d_conv2d_down(inp, bp["skip"]["w"],
                                            filter_taps=taps,
-                                           output_s2d=next_s2d)
+                                           output_s2d=next_s2d,
+                                           in_off=x_off, out_off=next_off)
             x = (x + proj) * res_scale
-            x_s2d = next_s2d
+            if next_off:
+                x = s2d_ops.mask_phantoms(x)
+            x_s2d, x_off = next_s2d, next_off
             res //= 2
             continue
         x = conv2d(x, policy.cast_compute(bp["conv0"]["w"]))
@@ -499,7 +547,7 @@ def discriminator_apply(params, images, cfg: SG2Config = CONFIG_F,
         res //= 2
 
     if x_s2d:  # cutoff reached the base block: fall back to plain for the head
-        x = s2d_ops.un_s2d(x)
+        x = s2d_ops.un_s2d_off(x, x_off)
     if cfg.mbstd_group_size:
         x = minibatch_std(x, cfg.mbstd_group_size, cfg.eps)
     x = conv2d(x, policy.cast_compute(params["final_conv"]["w"]))

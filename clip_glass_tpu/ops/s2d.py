@@ -17,6 +17,20 @@ Layout convention (phase-major): s2d(x)[b, p, q, (2r+c)*C + i] = x[b, 2p+r,
 2q+c, i]. All kernel composition is exact (verified element-wise against the
 plain path in tests/test_s2d.py); float differences are reduction-order only.
 
+Lattice OFFSETS (round 2.5): a same-res 3x3 conv folded onto the aligned
+lattice needs a [3,3,4I,4O] kernel — 4x the original MACs (75% of the phase
+blocks are zero) because the nine full-res taps of an output pixel straddle
+three cells per dimension. Folding between lattices that are offset by one
+full-res pixel (cell v' of an offset -1 tensor holds rows 2v'-1 and 2v';
+one extra cell row/col carries the two phantom rows -1 and H, stored as
+zeros) makes the same window straddle only TWO cells: the kernel support
+drops to [2,2] and the redundancy from 4x to 16/9 (measured 1.5-1.7x faster
+at the production shapes). Alternating offsets 0 <-> -1 along a chain of
+convs keeps every same-res conv at [2,2], the D skip convs shrink to
+[3,3]/[2,2], and only the fold pads change elsewhere. Offsets are an
+exact re-indexing; phantom cells must be zero whenever a conv consumes
+them (mask_phantoms, fused by XLA into the producer's elementwise epilogue).
+
 Behavioral reference for the ops themselves: stylegan2/modules.py:459-676
 (FIR resampling), 920-967 (modulated conv), 1089-1139 (fused up),
 1148-1260 (fused down); reference generator.py:45 (kornia 224px resize).
@@ -43,6 +57,21 @@ _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
 
 
 # ------------------------------------------------------------ layout
+#
+# Offset convention: an s2d tensor with lattice offset `off` stores cell v'
+# as full-res rows (2v' + off, 2v' + 1 + off). off=0 is the aligned lattice
+# (H/2 cells); off=-1 has H/2 + 1 cells covering rows -1..H, where row -1
+# (cell 0, phase 0) and row H (last cell, phase 1) are zero PHANTOMS.
+
+
+def n_cells(size: int, off: int = 0) -> int:
+    """Cell count of one spatial dim of an s2d tensor at lattice `off`."""
+    return size // 2 + (1 if off else 0)
+
+
+def phys_size(n: int, off: int = 0) -> int:
+    """Inverse of n_cells: full-res extent from the cell count."""
+    return 2 * (n - (1 if off else 0))
 
 
 def s2d(x: jnp.ndarray) -> jnp.ndarray:
@@ -60,11 +89,62 @@ def un_s2d(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * Hh, 2 * Wh, C)
 
 
-def s2d_hw(n: jnp.ndarray) -> jnp.ndarray:
-    """Per-layer noise plane [H, W] -> [H/2, W/2, 4] (phase-major)."""
+def s2d_hw(n: jnp.ndarray, off: int = 0) -> jnp.ndarray:
+    """Per-layer noise plane [H, W] -> [nh, nw, 4] (phase-major) on the
+    lattice at `off` (phantom entries zero)."""
+    if off:
+        n = jnp.pad(n, ((1, 1), (1, 1)))
     H, W = n.shape
     return n.reshape(H // 2, 2, W // 2, 2).transpose(0, 2, 1, 3).reshape(
         H // 2, W // 2, 4)
+
+
+def un_s2d_off(x: jnp.ndarray, off: int = 0) -> jnp.ndarray:
+    """s2d tensor at lattice `off` -> plain [B, H, W, C] (phantoms dropped)."""
+    y = un_s2d(x)
+    if off:
+        y = y[:, 1:-1, 1:-1, :]
+    return y
+
+
+def shift_to_m1(x: jnp.ndarray) -> jnp.ndarray:
+    """Re-lattice an offset-0 s2d tensor to offset -1: [B,n,n,4C] ->
+    [B,n+1,n+1,4C] with zero phantoms (one fused pad/concat pass)."""
+    C = x.shape[-1] // 4
+    p00, p01, p10, p11 = (x[..., i * C:(i + 1) * C] for i in range(4))
+
+    def pad(a, t, l):
+        return jnp.pad(a, ((0, 0), (t, 1 - t), (l, 1 - l), (0, 0)))
+
+    # new phase (rp, cp) of cell (v, w) = full-res row/col (2v+rp-1, 2w+cp-1)
+    return jnp.concatenate([
+        pad(p11, 1, 1),   # (0,0): old (1,1)[v-1, w-1]
+        pad(p10, 1, 0),   # (0,1): old (1,0)[v-1, w]
+        pad(p01, 0, 1),   # (1,0): old (0,1)[v, w-1]
+        pad(p00, 0, 0),   # (1,1): old (0,0)[v, w]
+    ], axis=-1)
+
+
+@lru_cache(maxsize=None)
+def _phantom_masks(nh: int, nw: int, C4: int):
+    C = C4 // 4
+    mr = np.ones((nh, 1, C4), np.float32)
+    mr[0, :, :2 * C] = 0.0        # row -1 lives in phases rp=0
+    mr[-1, :, 2 * C:] = 0.0       # row H lives in phases rp=1
+    mc = np.ones((1, nw, C4), np.float32)
+    cp0 = np.r_[0:C, 2 * C:3 * C]                    # phases cp=0
+    cp1 = np.r_[C:2 * C, 3 * C:4 * C]                # phases cp=1
+    mc[:, 0, cp0] = 0.0
+    mc[:, -1, cp1] = 0.0
+    return mr, mc
+
+
+def mask_phantoms(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero the phantom row/col entries of an offset -1 s2d tensor. Two
+    broadcast multiplies; XLA fuses them into the producing elementwise
+    chain (bias/act/noise), so this is free in practice."""
+    mr, mc = _phantom_masks(x.shape[1], x.shape[2], x.shape[3])
+    return x * jnp.asarray(mr, x.dtype) * jnp.asarray(mc, x.dtype)
 
 
 def tile_channels(v: jnp.ndarray, phases: int = 4) -> jnp.ndarray:
@@ -81,9 +161,11 @@ def tile_channels(v: jnp.ndarray, phases: int = 4) -> jnp.ndarray:
 # so the op stays an ordinary conv with kernel indexed by (offset, rj, rv).
 
 
-def _fold(K: jnp.ndarray, p0: int, stride: int, in_s2d: bool, out_s2d: bool):
+def _fold(K: jnp.ndarray, p0: int, stride: int, in_s2d: bool, out_s2d: bool,
+          in_off: int = 0, out_off: int = 0):
     """Fold a stride-`stride` conv kernel [kh, kw, I, O] with symmetric-ish
-    pad start `p0` onto s2d input/output lattices. Returns (K', p0', kh').
+    pad start `p0` onto s2d input/output lattices at offsets `in_off`/
+    `out_off` (see the layout section). Returns (K', p0', kh').
     Exact; jit-traceable (the tap enumeration is static, the scatter-adds run
     on the tiny kernel tensor)."""
     kh, kw, I, O = K.shape
@@ -91,9 +173,11 @@ def _fold(K: jnp.ndarray, p0: int, stride: int, in_s2d: bool, out_s2d: bool):
     fi = 2 if in_s2d else 1
     s_new, rem = divmod(stride * fo, fi)
     assert rem == 0 and s_new >= 1, "lattice ratio must stay integral"
+    # X index = stride * (fo*v' + rv + out_off) + t - p0 = fi*j' + rj + in_off
+    sh = (stride * out_off if out_s2d else 0) - (in_off if in_s2d else 0)
 
     # enumerate 1-D taps: (rv, t) -> (offset, rj)
-    offs = [(stride * rv + t - p0) for rv in range(fo) for t in range(kh)]
+    offs = [(stride * rv + t - p0 + sh) for rv in range(fo) for t in range(kh)]
     omin = min(o // fi for o in offs)
     omax = max(o // fi for o in offs)
     kh_new = omax - omin + 1
@@ -104,8 +188,8 @@ def _fold(K: jnp.ndarray, p0: int, stride: int, in_s2d: bool, out_s2d: bool):
         for rc in range(fo):
             for a in range(kh):
                 for b in range(kw):
-                    uh = stride * rv + a - p0
-                    uw = stride * rc + b - p0
+                    uh = stride * rv + a - p0 + sh
+                    uw = stride * rc + b - p0 + sh
                     dh, rjh = uh // fi, uh % fi
                     dw, rjw = uw // fi, uw % fi
                     ci = (rjh * fi + rjw) * I
@@ -126,13 +210,19 @@ def _down_composite_taps(k: int, filter_taps: tuple):
     return fk, (pad + 1) // 2
 
 
-def s2d_same_kernel(w: jnp.ndarray):
+def s2d_same_kernel(w: jnp.ndarray, in_off: int = 0, out_off: int = 0):
     """Stride-1 'SAME' conv (reference ConvLayer pads: pad0 = (k-1) -
-    (k-1)//2) on an s2d tensor: kernel [kh,kw,I,O] -> ([kh',kw',4I,4O], pad')."""
+    (k-1)//2) on an s2d tensor: kernel [kh,kw,I,O] -> ([kh',kw',4I,4O], pad').
+    With in_off != out_off a 3x3 kernel folds to [2,2] (see module docstring)."""
     k = w.shape[0]
     p0 = (k - 1) - (k - 1) // 2
-    Kp, pad0, _ = _fold(w, p0, 1, True, True)
+    Kp, pad0, _ = _fold(w, p0, 1, True, True, in_off, out_off)
     return Kp, pad0
+
+
+def _pad1_for(n_in: int, n_out: int, k: int, stride: int, pad0: int) -> int:
+    """Trailing pad that makes a VALID-counted conv emit exactly n_out."""
+    return (n_out - 1) * stride + k - pad0 - n_in
 
 
 def s2d_up_kernel(w: jnp.ndarray, filter_taps=(1, 3, 3, 1)):
@@ -145,13 +235,15 @@ def s2d_up_kernel(w: jnp.ndarray, filter_taps=(1, 3, 3, 1)):
     return Kp.reshape(kh, kw, I, 4 * O), 1
 
 
-def s2d_up_kernel_from_s2d(w: jnp.ndarray, filter_taps=(1, 3, 3, 1)):
+def s2d_up_kernel_from_s2d(w: jnp.ndarray, filter_taps=(1, 3, 3, 1),
+                           in_off: int = 0):
     """Fused 2x-up modulated conv from an s2d INPUT to an s2d output: the
     polyphase kernel's input side folded onto the half lattice. The result is
     a lhs_dilation=2 conv at the physical level (in res H stored at H/2,
-    out res 2H stored at H): kernel [4,4,4I,4O], pads (2,2), lhs_dilation 2.
-    Derivation: y[v'] = sum_t Kp[t] x[v'+t-1] with x[2j'+rj] = xs[j', rj]
-    => dilated-input tap tau = t + 1 - rj."""
+    out res 2H stored at H, output lattice offset 0): kernel [4,4,4I,4O],
+    lhs_dilation 2. Derivation: y[v'] = sum_t Kp[t] x[v'+t-1] with
+    x[2j'+rj+in_off] = xs[j', rj] => dilated-input tap index a+1-rj with
+    pad0 = 2 + in_off (the kernel is offset-independent; only the pad moves)."""
     Kp = _polyphase_up_kernels(w, tuple(filter_taps))  # [3,3,I,4,O]
     kh, kw, I, _, O = Kp.shape
     Kp32 = jnp.asarray(Kp.reshape(kh, kw, I, 4 * O), jnp.float32)
@@ -163,14 +255,17 @@ def s2d_up_kernel_from_s2d(w: jnp.ndarray, filter_taps=(1, 3, 3, 1)):
                 for b in range(kw):
                     Kd = Kd.at[a + 1 - rjh, b + 1 - rjw,
                                ci:ci + I, :].add(Kp32[a, b])
-    return Kd, 2
+    return Kd, 2 + in_off
 
 
 def s2d_down_kernel(w: jnp.ndarray, filter_taps=(1, 3, 3, 1),
-                    out_s2d: bool = False):
+                    out_s2d: bool = False, in_off: int = 0,
+                    out_off: int = 0):
     """FIR + stride-2 conv (reference ConvDownLayer) from an s2d input to a
     half-res output — PLAIN ([kh',kw',4I,O], stride 1 at the physical level)
-    or s2d ([kh',kw',4I,4O], stride 2). Returns (K', pad0', stride')."""
+    or s2d ([kh',kw',4I,4O], stride 2). Returns (K', pad0', stride').
+    Offsets shave a tap where the lattice alignment allows (the 1x1 skip's
+    composite shrinks [4,4] -> [3,3] for in_off=-1)."""
     k = w.shape[0]
     fk, p0 = _down_composite_taps(k, tuple(filter_taps))
     kk = k + fk.shape[-1] - 1
@@ -179,7 +274,7 @@ def s2d_down_kernel(w: jnp.ndarray, filter_taps=(1, 3, 3, 1),
     for s1 in range(fk.shape[0]):
         for s2 in range(fk.shape[1]):
             C = C.at[s1:s1 + k, s2:s2 + k].add(float(fk[s1, s2]) * w32)
-    Kp, pad0, _ = _fold(C, p0, 2, True, out_s2d)
+    Kp, pad0, _ = _fold(C, p0, 2, True, out_s2d, in_off, out_off)
     return Kp, pad0, (2 if out_s2d else 1)
 
 
@@ -217,12 +312,17 @@ def s2d_upsample2x(y: jnp.ndarray, filter_taps=(1, 3, 3, 1),
 
 
 def s2d_modulated_conv2d(x_s2d, w, style, *, demodulate: bool = True,
-                         eps: float = 1e-8):
-    """modulated_conv2d on an s2d tensor. x_s2d: [B,H/2,W/2,4I]; w: [k,k,I,O]
-    (ORIGINAL kernel); style: [B,I]. Exact: input scaling and output
-    demodulation tile per-phase; the spatial kernel folds onto the lattice."""
-    Kp, pad0 = s2d_same_kernel(w)
-    pad1 = Kp.shape[0] - 1 - pad0
+                         eps: float = 1e-8, in_off: int = 0,
+                         out_off: int = 0):
+    """modulated_conv2d on an s2d tensor. x_s2d: [B,nh,nw,4I] at lattice
+    `in_off`; w: [k,k,I,O] (ORIGINAL kernel); style: [B,I]. Exact: input
+    scaling and output demodulation tile per-phase; the spatial kernel folds
+    onto the lattice pair (in_off != out_off keeps a 3x3 at [2,2] support)."""
+    Kp, pad0 = s2d_same_kernel(w, in_off, out_off)
+    k = Kp.shape[0]
+    H = phys_size(x_s2d.shape[1], in_off)
+    n_out = n_cells(H, out_off)
+    pad1 = _pad1_for(x_s2d.shape[1], n_out, k, 1, pad0)
     xs = x_s2d * tile_channels(style).astype(x_s2d.dtype)[:, None, None, :]
     y = _conv(xs, Kp.astype(x_s2d.dtype), pad0=pad0, pad1=pad1)
     if demodulate:
@@ -233,18 +333,22 @@ def s2d_modulated_conv2d(x_s2d, w, style, *, demodulate: bool = True,
 
 def s2d_modulated_conv2d_up(x, w, style, *, demodulate: bool = True,
                             filter_taps=(1, 3, 3, 1), eps: float = 1e-8,
-                            input_s2d: bool = False):
+                            input_s2d: bool = False, in_off: int = 0):
     """modulated_conv2d_up straight into s2d form (the polyphase composition
     WITHOUT the interleave that made it lose as a full-res op,
-    ops/modulated_conv.py:133-155).
+    ops/modulated_conv.py:133-155). Output lattice offset is always 0.
 
     input_s2d=False: x [B,H,W,I] plain -> [B,H,W,4O] (= s2d of 2H x 2W).
-    input_s2d=True:  x [B,H/2,W/2,4I] s2d -> [B,H,W,4O] via a lhs_dilation=2
-    conv at the physical level (the s2d(H) -> s2d(2H) up transition)."""
+    input_s2d=True:  x s2d at lattice `in_off` -> [B,H,W,4O] via a
+    lhs_dilation=2 conv at the physical level (the s2d(H) -> s2d(2H) up
+    transition)."""
     if input_s2d:
-        Kd, pad0 = s2d_up_kernel_from_s2d(w, filter_taps)
+        Kd, pad0 = s2d_up_kernel_from_s2d(w, filter_taps, in_off)
+        n_in = x.shape[1]
+        n_out = phys_size(n_in, in_off)  # cells of s2d(2H) at offset 0
+        pad1 = n_out + 4 - pad0 - 2 * n_in
         xs = x * tile_channels(style).astype(x.dtype)[:, None, None, :]
-        y = _conv(xs, Kd.astype(x.dtype), pad0=pad0, pad1=pad0, lhs_dilation=2)
+        y = _conv(xs, Kd.astype(x.dtype), pad0=pad0, pad1=pad1, lhs_dilation=2)
     else:
         Kp, pad0 = s2d_up_kernel(w, filter_taps)
         xs = x * style[:, None, None, :].astype(x.dtype)
@@ -255,23 +359,28 @@ def s2d_modulated_conv2d_up(x, w, style, *, demodulate: bool = True,
     return y
 
 
-def s2d_conv2d(x_s2d, w):
+def s2d_conv2d(x_s2d, w, in_off: int = 0, out_off: int = 0):
     """Unmodulated stride-1 'SAME' conv on an s2d tensor (D fromRGB/conv0)."""
-    Kp, pad0 = s2d_same_kernel(w)
-    pad1 = Kp.shape[0] - 1 - pad0
+    Kp, pad0 = s2d_same_kernel(w, in_off, out_off)
+    H = phys_size(x_s2d.shape[1], in_off)
+    n_out = n_cells(H, out_off)
+    pad1 = _pad1_for(x_s2d.shape[1], n_out, Kp.shape[0], 1, pad0)
     return _conv(x_s2d, Kp.astype(x_s2d.dtype), pad0=pad0, pad1=pad1)
 
 
 def s2d_conv2d_down(x_s2d, w, *, filter_taps=(1, 3, 3, 1),
-                    output_s2d: bool = False):
+                    output_s2d: bool = False, in_off: int = 0,
+                    out_off: int = 0):
     """FIR + stride-2 conv on an s2d input -> half-res output, PLAIN
     (default) or s2d (the level below also runs in the s2d domain)."""
-    Kp, pad0, stride = s2d_down_kernel(w, filter_taps, out_s2d=output_s2d)
+    Kp, pad0, stride = s2d_down_kernel(w, filter_taps, out_s2d=output_s2d,
+                                       in_off=in_off, out_off=out_off)
     k = Kp.shape[0]
-    H = x_s2d.shape[1]
-    # output phys length: H/2 for s2d out (stride 2), H for plain out
-    out_len = H // stride if output_s2d else H
-    pad1 = (out_len - 1) * stride + k - pad0 - H
+    H = phys_size(x_s2d.shape[1], in_off)  # input physical resolution
+    # output length: cells of s2d(H/2) at out_off, or H/2 plain... the conv
+    # runs at the CELL level: n_in cells, stride' = stride
+    n_out = n_cells(H // 2, out_off) if output_s2d else H // 2
+    pad1 = _pad1_for(x_s2d.shape[1], n_out, k, stride, pad0)
     return _conv(x_s2d, Kp.astype(x_s2d.dtype), stride=stride,
                  pad0=pad0, pad1=pad1)
 
@@ -290,15 +399,24 @@ def _bilinear_matrix(src: int, dst: int):
     return np.asarray(R, np.float32)
 
 
-def resize_bilinear_from_s2d(img_s2d: jnp.ndarray, size: int = 224):
-    """[B, H/2, W/2, 4C] s2d image -> [B, C, size, size] (NCHW, matching
-    ops/resize.resize_bilinear semantics) without materializing the full-res
-    image: the bilinear weight matrix folds the phase index."""
+def resize_bilinear_from_s2d(img_s2d: jnp.ndarray, size: int = 224,
+                             in_off: int = 0):
+    """[B, nh, nw, 4C] s2d image (lattice `in_off`) -> [B, C, size, size]
+    (NCHW, matching ops/resize.resize_bilinear semantics) without
+    materializing the full-res image: the bilinear weight matrix folds the
+    phase index (phantom rows get zero weight, so they never contribute)."""
     B, Hh, Wh, C4 = img_s2d.shape
     C = C4 // 4
     dt = img_s2d.dtype
-    R_h = jnp.asarray(_bilinear_matrix(2 * Hh, size).reshape(size, Hh, 2), dt)
-    R_w = jnp.asarray(_bilinear_matrix(2 * Wh, size).reshape(size, Wh, 2), dt)
+
+    def mat(n):
+        R = _bilinear_matrix(phys_size(n, in_off), size)
+        if in_off:  # zero weight columns for the phantom rows -1 and H
+            R = np.pad(R, ((0, 0), (1, 1)))
+        return R.reshape(size, n, 2)
+
+    R_h = jnp.asarray(mat(Hh), dt)
+    R_w = jnp.asarray(mat(Wh), dt)
     x = img_s2d.reshape(B, Hh, Wh, 2, 2, C)
     # contract H (p, r) then W (q, s); fp32 accumulation, source-dtype reads
     t = jnp.einsum("bpqrsc,opr->boqsc", x, R_h,

@@ -126,6 +126,93 @@ def test_resize_from_s2d(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+# ---------------------------------------------------------------- offsets
+#
+# The offset-lattice variants (cells holding rows 2v'+off; off=-1 carries a
+# phantom row/col pair stored as zeros) must be exact re-indexings: every
+# folded kernel at every (in_off, out_off) pair equals the plain op.
+
+
+def to_off(x, off):
+    return S.shift_to_m1(S.s2d(x)) if off else S.s2d(x)
+
+
+def test_shift_to_m1_roundtrip(rng):
+    x = r(rng, B, H, H, I)
+    xs = S.shift_to_m1(S.s2d(x))
+    assert xs.shape == (B, H // 2 + 1, H // 2 + 1, 4 * I)
+    np.testing.assert_array_equal(np.asarray(S.un_s2d_off(xs, -1)),
+                                  np.asarray(x))
+    # phantoms are zero by construction
+    np.testing.assert_array_equal(np.asarray(S.mask_phantoms(xs)),
+                                  np.asarray(xs))
+
+
+def test_s2d_hw_offset(rng):
+    n = r(rng, H, H)
+    a = np.asarray(S.s2d_hw(n, -1))
+    xs = np.asarray(S.shift_to_m1(S.s2d(n[None, :, :, None])))[0]
+    np.testing.assert_array_equal(a, xs)
+
+
+@pytest.mark.parametrize("in_off,out_off", [(0, -1), (-1, 0), (-1, -1)])
+@pytest.mark.parametrize("k", [3, 1])
+def test_s2d_offset_modulated_conv(rng, in_off, out_off, k):
+    x = r(rng, B, H, H, I)
+    w = r(rng, k, k, I, O)
+    style = r(rng, B, I)
+    a = modulated_conv2d(x, w, style)
+    y = S.s2d_modulated_conv2d(to_off(x, in_off), w, style,
+                               in_off=in_off, out_off=out_off)
+    assert y.shape[1] == S.n_cells(H, out_off)
+    if out_off:
+        y = S.mask_phantoms(y)  # conv extrapolates into phantom slots
+    np.testing.assert_allclose(np.asarray(a),
+                               np.asarray(S.un_s2d_off(y, out_off)),
+                               rtol=2e-5, atol=2e-5)
+    if in_off == 0 and out_off == -1 and k == 3:
+        Kp, _ = S.s2d_same_kernel(w, in_off, out_off)
+        assert Kp.shape[0] == 2  # the [2,2] fold is the point
+
+
+@pytest.mark.parametrize("in_off,out_off", [(0, -1), (-1, 0), (-1, -1)])
+@pytest.mark.parametrize("k,out_s2d", [(3, True), (1, True), (3, False),
+                                       (1, False)])
+def test_s2d_offset_down_conv(rng, in_off, out_off, k, out_s2d):
+    if not out_s2d and out_off:
+        pytest.skip("plain output has no lattice offset")
+    x = r(rng, B, H, H, I)
+    w = r(rng, k, k, I, O)
+    a = conv2d_down(x, w)
+    y = S.s2d_conv2d_down(to_off(x, in_off), w, output_s2d=out_s2d,
+                          in_off=in_off, out_off=out_off)
+    if out_s2d:
+        if out_off:
+            y = S.mask_phantoms(y)
+        y = S.un_s2d_off(y, out_off)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(y),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_s2d_offset_up_from_s2d(rng):
+    x = r(rng, B, H, H, I)
+    w = r(rng, 3, 3, I, O)
+    style = r(rng, B, I)
+    a = modulated_conv2d_up(x, w, style)
+    y = S.s2d_modulated_conv2d_up(to_off(x, -1), w, style, input_s2d=True,
+                                  in_off=-1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(S.un_s2d(y)),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_resize_from_s2d_offset(rng):
+    img = r(rng, B, 32, 32, 3)
+    a = resize_bilinear(jnp.transpose(img, (0, 3, 1, 2)), 12)
+    b = S.resize_bilinear_from_s2d(to_off(img, -1), 12, in_off=-1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+
 # ---------------------------------------------------------------- model level
 
 TINY_S2D = dataclasses.replace(sg2.TINY, s2d_min_res=8)
@@ -160,11 +247,16 @@ def test_synthesis_output_s2d_layout(tiny_params, rng):
     a = sg2.generator_apply(gp, z, TINY_S2D, noise=noise, policy=FP32)
     b = sg2.generator_apply(gp, z, TINY_S2D, noise=noise, policy=FP32,
                             output_s2d=True)
-    assert b.shape == (4, 8, 8, 12)
+    off = sg2.s2d_output_offset(TINY_S2D)
+    n = S.n_cells(16, off)
+    assert off == -1 and b.shape == (4, n, n, 12)
     np.testing.assert_allclose(
         np.asarray(a),
-        np.asarray(jnp.transpose(S.un_s2d(b), (0, 3, 1, 2))),
+        np.asarray(jnp.transpose(S.un_s2d_off(b, off), (0, 3, 1, 2))),
         rtol=1e-5, atol=1e-5)
+    # contract: phantom entries are exactly zero
+    np.testing.assert_array_equal(np.asarray(S.mask_phantoms(b)),
+                                  np.asarray(b))
 
 
 def test_discriminator_s2d_matches_plain(tiny_params, rng):
