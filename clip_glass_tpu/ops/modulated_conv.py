@@ -93,6 +93,25 @@ def modulated_conv2d_up(x, w, style, *, demodulate: bool = True,
     return y
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _up_phase_map(filter_taps):
+    """Constant coefficient tensor A[d, r, t] = sum_{s: s+t=2d+1-r (valid)}
+    k1[s] of the convT+FIR polyphase composition (one per dimension)."""
+    k1 = np.asarray(filter_taps, np.float64)
+    k1 = k1 / k1.sum() * 2.0  # separable 1-D factor (total FIR gain 4)
+    A = np.zeros((3, 2, 3), np.float32)
+    for r in (0, 1):
+        for t in range(3):
+            for s in range(len(k1)):
+                d2 = s + t - 3 + r
+                if d2 % 2 == 0 and -2 <= d2 <= 2:
+                    A[d2 // 2 + 1, r, t] += k1[s]
+    return A
+
+
 def _polyphase_up_kernels(w, filter_taps):
     """Compose convT(stride 2, k=3) + 4-tap FIR into FOUR 3x3 phase kernels.
 
@@ -100,34 +119,13 @@ def _polyphase_up_kernels(w, filter_taps):
       K[r,c][di,dj] = sum_{s1+t1=2di+3-r, s2+t2=2dj+3-c}
                       k1[s1] k1[s2] w[2-t1, 2-t2]
     (derived from the zero-stuffing + padding arithmetic of
-    modulated_conv2d_up). Exact; evaluated at trace time on the weights.
-    """
-    k1 = np.asarray(filter_taps, np.float64)
-    k1 = k1 / k1.sum() * 2.0  # separable 1-D factor (total FIR gain 4)
-    K = []
-    for r in (0, 1):
-        row = []
-        for c in (0, 1):
-            acc = jnp.zeros((3, 3) + w.shape[2:], w.dtype)
-            for s1 in range(4):
-                for t1 in range(3):
-                    di2 = s1 + t1 - 3 + r
-                    if di2 % 2 or not (-2 <= di2 <= 2):
-                        continue
-                    di = di2 // 2
-                    for s2 in range(4):
-                        for t2 in range(3):
-                            dj2 = s2 + t2 - 3 + c
-                            if dj2 % 2 or not (-2 <= dj2 <= 2):
-                                continue
-                            dj = dj2 // 2
-                            coef = float(k1[s1] * k1[s2])
-                            acc = acc.at[di + 1, dj + 1].add(
-                                coef * w[2 - t1, 2 - t2])
-            row.append(acc)
-        K.append(row)
-    # one conv with 4x output channels: [3, 3, I, 4, O]
-    return jnp.stack([K[0][0], K[0][1], K[1][0], K[1][1]], axis=3)
+    modulated_conv2d_up). Exact; ONE einsum against constant per-dimension
+    coefficient tensors. Returns [3, 3, I, 4, O] (phases r-major)."""
+    A = jnp.asarray(_up_phase_map(tuple(filter_taps)), jnp.float32)
+    wf = jnp.flip(jnp.asarray(w, jnp.float32), (0, 1))  # w[2-t1, 2-t2]
+    Kp = jnp.einsum("drt,ecs,tsio->deirco", A, A, wf)
+    d, e, I, r, c, O = Kp.shape
+    return Kp.reshape(d, e, I, r * c, O).astype(w.dtype)
 
 
 def modulated_conv2d_up_polyphase(x, w, style, *, demodulate: bool = True,

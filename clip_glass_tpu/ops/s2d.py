@@ -161,13 +161,30 @@ def tile_channels(v: jnp.ndarray, phases: int = 4) -> jnp.ndarray:
 # so the op stays an ordinary conv with kernel indexed by (offset, rj, rv).
 
 
+@lru_cache(maxsize=None)
+def _fold_map(kh: int, p0: int, stride: int, fi: int, fo: int, sh: int):
+    """Constant per-dimension 0/1 mapping tensor M[d, a, rj, rv] of the
+    lattice fold (tap a of output phase rv lands at folded tap d, input
+    phase rj). Returns (M, omin, kh')."""
+    offs = [(stride * rv + a - p0 + sh) for rv in range(fo) for a in range(kh)]
+    omin = min(o // fi for o in offs)
+    kh_new = max(o // fi for o in offs) - omin + 1
+    M = np.zeros((kh_new, kh, fi, fo), np.float32)
+    for rv in range(fo):
+        for a in range(kh):
+            uh = stride * rv + a - p0 + sh
+            M[uh // fi - omin, a, uh % fi, rv] = 1.0
+    return M, omin, kh_new
+
+
 def _fold(K: jnp.ndarray, p0: int, stride: int, in_s2d: bool, out_s2d: bool,
           in_off: int = 0, out_off: int = 0):
     """Fold a stride-`stride` conv kernel [kh, kw, I, O] with symmetric-ish
     pad start `p0` onto s2d input/output lattices at offsets `in_off`/
     `out_off` (see the layout section). Returns (K', p0', kh').
-    Exact; jit-traceable (the tap enumeration is static, the scatter-adds run
-    on the tiny kernel tensor)."""
+    Exact; ONE einsum against a constant mapping tensor (the loop-hoisted
+    fold must be cheap: an earlier scatter-add formulation cost ~170 ms of
+    in-program time per parameter set)."""
     kh, kw, I, O = K.shape
     fo = 2 if out_s2d else 1
     fi = 2 if in_s2d else 1
@@ -176,26 +193,12 @@ def _fold(K: jnp.ndarray, p0: int, stride: int, in_s2d: bool, out_s2d: bool,
     # X index = stride * (fo*v' + rv + out_off) + t - p0 = fi*j' + rj + in_off
     sh = (stride * out_off if out_s2d else 0) - (in_off if in_s2d else 0)
 
-    # enumerate 1-D taps: (rv, t) -> (offset, rj)
-    offs = [(stride * rv + t - p0 + sh) for rv in range(fo) for t in range(kh)]
-    omin = min(o // fi for o in offs)
-    omax = max(o // fi for o in offs)
-    kh_new = omax - omin + 1
-
+    M, omin, kh_new = _fold_map(kh, p0, stride, fi, fo, sh)
+    Mj = jnp.asarray(M)
     K32 = jnp.asarray(K, jnp.float32)
-    Kp = jnp.zeros((kh_new, kh_new, fi * fi * I, fo * fo * O), jnp.float32)
-    for rv in range(fo):
-        for rc in range(fo):
-            for a in range(kh):
-                for b in range(kw):
-                    uh = stride * rv + a - p0 + sh
-                    uw = stride * rc + b - p0 + sh
-                    dh, rjh = uh // fi, uh % fi
-                    dw, rjw = uw // fi, uw % fi
-                    ci = (rjh * fi + rjw) * I
-                    co = (rv * fo + rc) * O
-                    Kp = Kp.at[dh - omin, dw - omin,
-                               ci:ci + I, co:co + O].add(K32[a, b])
+    # ci = (rjh*fi + rjw)*I + i  (J,K,i);  co = (rv*fo + rc)*O + o  (R,S,o)
+    Kp = jnp.einsum("DaJR,EbKS,abio->DEJKiRSo", Mj, Mj, K32)
+    Kp = Kp.reshape(kh_new, kh_new, fi * fi * I, fo * fo * O)
     return Kp, -omin, kh_new
 
 
@@ -247,15 +250,19 @@ def s2d_up_kernel_from_s2d(w: jnp.ndarray, filter_taps=(1, 3, 3, 1),
     Kp = _polyphase_up_kernels(w, tuple(filter_taps))  # [3,3,I,4,O]
     kh, kw, I, _, O = Kp.shape
     Kp32 = jnp.asarray(Kp.reshape(kh, kw, I, 4 * O), jnp.float32)
-    Kd = jnp.zeros((4, 4, 4 * I, 4 * O), jnp.float32)
-    for rjh in range(2):
-        for rjw in range(2):
-            ci = (rjh * 2 + rjw) * I
-            for a in range(kh):
-                for b in range(kw):
-                    Kd = Kd.at[a + 1 - rjh, b + 1 - rjw,
-                               ci:ci + I, :].add(Kp32[a, b])
-    return Kd, 2 + in_off
+    U = jnp.asarray(_dilated_fold_map())
+    Kd = jnp.einsum("FaJ,GbK,abim->FGJKim", U, U, Kp32)
+    return Kd.reshape(4, 4, 4 * I, 4 * O), 2 + in_off
+
+
+@lru_cache(maxsize=None)
+def _dilated_fold_map():
+    """0/1 tensor U[f, a, rj]: dilated-conv tap index f = a + 1 - rj."""
+    U = np.zeros((4, 3, 2), np.float32)
+    for a in range(3):
+        for rj in range(2):
+            U[a + 1 - rj, a, rj] = 1.0
+    return U
 
 
 def s2d_down_kernel(w: jnp.ndarray, filter_taps=(1, 3, 3, 1),
@@ -269,13 +276,23 @@ def s2d_down_kernel(w: jnp.ndarray, filter_taps=(1, 3, 3, 1),
     k = w.shape[0]
     fk, p0 = _down_composite_taps(k, tuple(filter_taps))
     kk = k + fk.shape[-1] - 1
-    w32 = jnp.asarray(w, jnp.float32)
-    C = jnp.zeros((kk, kk) + w.shape[2:], jnp.float32)
-    for s1 in range(fk.shape[0]):
-        for s2 in range(fk.shape[1]):
-            C = C.at[s1:s1 + k, s2:s2 + k].add(float(fk[s1, s2]) * w32)
+    G = jnp.asarray(_compose_map(kk, fk.shape[-1], k))
+    C = jnp.einsum("Usa,Vtb,st,abio->UVio", G, G,
+                   jnp.asarray(fk, jnp.float32),
+                   jnp.asarray(w, jnp.float32))
     Kp, pad0, _ = _fold(C, p0, 2, True, out_s2d, in_off, out_off)
     return Kp, pad0, (2 if out_s2d else 1)
+
+
+@lru_cache(maxsize=None)
+def _compose_map(kk: int, n_fir: int, k: int):
+    """0/1 tensor G[u, s, t]: 2-D convolution index u = s + t (composing the
+    depthwise FIR with the conv kernel as one einsum)."""
+    G = np.zeros((kk, n_fir, k), np.float32)
+    for s in range(n_fir):
+        for t in range(k):
+            G[s + t, s, t] = 1.0
+    return G
 
 
 @lru_cache(maxsize=None)
