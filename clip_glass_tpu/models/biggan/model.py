@@ -47,6 +47,9 @@ class BigGANConfig:
     eps: float = 1e-4
     n_stats: int = 51
     output_dim: int = 256
+    # Bottleneck mid segments whose output resolution >= this run in the
+    # space-to-depth domain (see _block_mid_s2d / ops/s2d.py). 2**30 disables.
+    s2d_min_res: int = 256
 
     @property
     def cond_dim(self) -> int:
@@ -228,18 +231,75 @@ def _maxpool2(x):
                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
+def _cond_bn_s2d(p, x_s2d, cond, truncation, cfg, policy: Policy):
+    """_cond_bn_apply with per-channel vectors tiled across the four s2d
+    phases (phase-major layout, ops/s2d.py)."""
+    from clip_glass_tpu.ops import s2d as S
+
+    mean, var = _interp_stats(p["running_means"], p["running_vars"],
+                              truncation, cfg.n_stats)
+    weight = 1.0 + cond @ policy.cast_compute(p["scale"]["w"])
+    bias = cond @ policy.cast_compute(p["offset"]["w"])
+    x32 = jnp.asarray(x_s2d, jnp.float32)
+    y = (x32 - S.tile_channels(mean)) * jax.lax.rsqrt(
+        S.tile_channels(var) + cfg.eps)
+    y = y * jnp.asarray(S.tile_channels(weight), jnp.float32)[:, None, None, :] \
+        + jnp.asarray(S.tile_channels(bias), jnp.float32)[:, None, None, :]
+    return y.astype(x_s2d.dtype)
+
+
+def _block_mid_s2d(p, h, cond, truncation, up: bool, cfg, policy: Policy):
+    """The bottleneck mid segment (conv0 1x1 -> [nearest up] -> conv1 3x3 ->
+    conv2 3x3 -> conv3 1x1) in the space-to-depth domain: mid = in/4
+    channels at 256-512px are lane-pathological in plain NHWC (the same
+    problem as StyleGAN2's top levels, ops/s2d.py docstring). conv0 folds
+    plain->s2d, the nearest-neighbour upsample composes into conv1
+    (s2d_nearest_up_conv), conv2 alternates the lattice offset ([2,2]
+    kernel), conv3 folds back to plain — zero standalone layout transposes.
+    Exact: every op is a re-indexed fold of the plain formulation."""
+    from clip_glass_tpu.ops import s2d as S
+
+    cc = policy.cast_compute
+    hs = S.s2d_enter_conv1x1(h, cc(p["conv_0"]["w"]))
+    hs = hs + S.tile_channels(cc(p["conv_0"]["b"]))
+    hs = jax.nn.relu(_cond_bn_s2d(p["bn_1"], hs, cond, truncation, cfg, policy))
+    if up:
+        hs = S.s2d_nearest_up_conv(hs, cc(p["conv_1"]["w"]), in_off=0)
+        off = 0
+    else:
+        hs = S.s2d_conv2d(hs, cc(p["conv_1"]["w"]), 0, -1)
+        off = -1
+    hs = hs + S.tile_channels(cc(p["conv_1"]["b"]))
+    hs = jax.nn.relu(_cond_bn_s2d(p["bn_2"], hs, cond, truncation, cfg, policy))
+    if off:
+        hs = S.mask_phantoms(hs)
+    off2 = 0 if off else -1
+    hs = S.s2d_conv2d(hs, cc(p["conv_2"]["w"]), off, off2)
+    hs = hs + S.tile_channels(cc(p["conv_2"]["b"]))
+    hs = jax.nn.relu(_cond_bn_s2d(p["bn_3"], hs, cond, truncation, cfg, policy))
+    if off2:
+        hs = S.mask_phantoms(hs)
+    out = S.s2d_exit_conv1x1(hs, cc(p["conv_3"]["w"]), in_off=off2)
+    return out + cc(p["conv_3"]["b"])
+
+
 def _gen_block_apply(p, x, cond, truncation, up: bool, cfg, policy: Policy):
     x0 = x
     h = jax.nn.relu(_cond_bn_apply(p["bn_0"], x, cond, truncation, cfg, policy))
-    h = _conv_apply(p["conv_0"], h, policy)
-    h = jax.nn.relu(_cond_bn_apply(p["bn_1"], h, cond, truncation, cfg, policy))
-    if up:
-        h = _upsample_nearest(h)
-    h = _conv_apply(p["conv_1"], h, policy)
-    h = jax.nn.relu(_cond_bn_apply(p["bn_2"], h, cond, truncation, cfg, policy))
-    h = _conv_apply(p["conv_2"], h, policy)
-    h = jax.nn.relu(_cond_bn_apply(p["bn_3"], h, cond, truncation, cfg, policy))
-    h = _conv_apply(p["conv_3"], h, policy)
+    mid = p["conv_0"]["w"].shape[-1]
+    out_res = 2 * x.shape[1] if up else x.shape[1]
+    if out_res >= cfg.s2d_min_res and 4 * mid <= 512:
+        h = _block_mid_s2d(p, h, cond, truncation, up, cfg, policy)
+    else:
+        h = _conv_apply(p["conv_0"], h, policy)
+        h = jax.nn.relu(_cond_bn_apply(p["bn_1"], h, cond, truncation, cfg, policy))
+        if up:
+            h = _upsample_nearest(h)
+        h = _conv_apply(p["conv_1"], h, policy)
+        h = jax.nn.relu(_cond_bn_apply(p["bn_2"], h, cond, truncation, cfg, policy))
+        h = _conv_apply(p["conv_2"], h, policy)
+        h = jax.nn.relu(_cond_bn_apply(p["bn_3"], h, cond, truncation, cfg, policy))
+        h = _conv_apply(p["conv_3"], h, policy)
 
     out_ch = h.shape[-1]
     if x0.shape[-1] != out_ch:
@@ -293,7 +353,17 @@ def apply(params, z, class_vector, truncation: float = 1.0,
             li += 1
 
     h = jax.nn.relu(_plain_bn_apply(params["bn"], h, truncation, cfg))
-    h = _conv_apply(params["conv_to_rgb"], h, policy)
-    h = h[..., :3]
-    h = jnp.tanh(h)
-    return jnp.transpose(h, (0, 3, 1, 2))  # NCHW like the reference
+    # The package's conv_to_rgb maps ch -> ch and then KEEPS ONLY the first
+    # 3 channels (pytorch_pretrained_biggan model.py: `z = z[:, :3, ...]`).
+    # Slicing the KERNEL instead is bit-identical and removes 97% of the
+    # MACs of the single most expensive conv (3x3, 128ch, full res); the
+    # checkpoint keeps the full [k,k,ch,ch] weight for parity. Emitting
+    # NCHW straight from the conv avoids materializing a lane-padded
+    # [B,H,W,3] tensor and the final transpose.
+    w = policy.cast_compute(params["conv_to_rgb"]["w"][:, :, :, :3])
+    h = jax.lax.conv_general_dilated(
+        h, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            h.shape, w.shape, ("NHWC", "HWIO", "NCHW")))
+    h = h + policy.cast_compute(params["conv_to_rgb"]["b"][:3])[:, None, None]
+    return jnp.tanh(h)  # NCHW like the reference

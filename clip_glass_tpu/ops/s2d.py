@@ -402,6 +402,101 @@ def s2d_conv2d_down(x_s2d, w, *, filter_taps=(1, 3, 3, 1),
                  pad0=pad0, pad1=pad1)
 
 
+# ------------------------------------------------------------ BigGAN ops
+#
+# BigGAN-deep's bottleneck blocks (reference models.py:65-86 via
+# pytorch_pretrained_biggan) run mid = in/4 channels at up to 512px —
+# the same narrow-channel pathology as StyleGAN2's top levels. The mid
+# segment (conv0 1x1 -> [up] -> conv1 3x3 -> conv2 3x3 -> conv3 1x1) maps
+# onto the s2d domain with NO standalone layout transposes: conv0 folds
+# plain->s2d, the nearest-neighbour upsample composes into conv1, and
+# conv3 folds s2d->plain.
+
+
+def s2d_enter_conv1x1(x_plain, w, out_off: int = 0):
+    """1x1 conv [I -> O] from a PLAIN tensor straight into s2d form:
+    y_s2d[v,w,(rp,cp,o)] = (x @ w)[2v+rp+off, 2w+cp+off, o] — a stride-2
+    conv with the per-phase kernel. Exact (pointwise op re-indexed)."""
+    I, O = w.shape[2], w.shape[3]
+    assert w.shape[0] == w.shape[1] == 1
+    Kp, pad0, _ = _fold(w, 0, 1, False, True, 0, out_off)
+    H = x_plain.shape[1]
+    n_out = n_cells(H, out_off)
+    pad1 = _pad1_for(H, n_out, Kp.shape[0], 2, pad0)
+    return _conv(x_plain, Kp.astype(x_plain.dtype), stride=2,
+                 pad0=pad0, pad1=pad1)
+
+
+def s2d_exit_conv1x1(x_s2d, w, in_off: int = 0):
+    """1x1 conv [I -> O] from an s2d tensor back to PLAIN full resolution:
+    a lhs_dilation=2 conv whose [2,2] taps pick the right phase block per
+    output pixel. Exact."""
+    I, O = w.shape[2], w.shape[3]
+    assert w.shape[0] == w.shape[1] == 1
+    w32 = jnp.asarray(w[0, 0], jnp.float32)
+    K = jnp.zeros((2, 2, 4 * I, O), jnp.float32)
+    # y[m] = x_plain[m] @ w; x_plain[m] = xs[(m-oi)//2, (m-oi)%2];
+    # dilated tap tau = pad0 - oi - rj (same both dims); pad0 = 1 + oi keeps
+    # taus in {0, 1}
+    pad0 = 1 + in_off
+    for rjh in range(2):
+        for rjw in range(2):
+            th = pad0 - in_off - rjh
+            tw = pad0 - in_off - rjw
+            ci = (rjh * 2 + rjw) * I
+            K = K.at[th, tw, ci:ci + I, :].set(w32)
+    n_in = x_s2d.shape[1]
+    H = phys_size(n_in, in_off)
+    pad1 = H - 1 + 2 - pad0 - (2 * n_in - 1)
+    return _conv(x_s2d, K.astype(x_s2d.dtype), pad0=pad0, pad1=pad1,
+                 lhs_dilation=2)
+
+
+@lru_cache(maxsize=None)
+def _nearest_up_fold_map(kh: int, in_off: int):
+    """Mapping tensor M[tau, a, rj, rv] for conv(k=kh, SAME-pad p0=(kh-1)//2
+    ... reference pad (k-1)//2) composed with a 2x NEAREST upsample of the
+    input, from s2d(H, in_off) to s2d(2H, 0) as a lhs_dilation=2 conv.
+    y[2v'+rv] = sum_a K[a] x_up[2v'+rv+a-p0], x_up[i] = x_plain[i//2]."""
+    p0 = (kh - 1) // 2
+    entries = []
+    for rv in range(2):
+        for a in range(kh):
+            du = (rv + a - p0) // 2   # + v' (the 2v' term floors away)
+            for rj in range(2):
+                # x_plain[v'+du] = xs[(v'+du-oi)//2, (v'+du-oi)%2]
+                entries.append((du, rj, rv, a))
+    taus = [du - in_off - rj for (du, rj, rv, a) in entries]
+    tmin = min(taus)
+    kt = max(taus) - tmin + 1
+    M = np.zeros((kt, kh, 2, 2), np.float32)
+    for (du, rj, rv, a) in entries:
+        # the (du, rj) pair must actually address x_plain[v'+du]: phase rj
+        # contributes only when (v'+du-oi) % 2 == rj — but v' is free, so
+        # BOTH phases appear; the tap position encodes which cell.
+        M[du - in_off - rj - tmin, a, rj, rv] += 1.0
+    return M, -tmin
+
+
+def s2d_nearest_up_conv(x_s2d, w, in_off: int = 0):
+    """conv2d 'SAME' (pad (k-1)//2, the BigGAN convention) applied to the 2x
+    NEAREST-upsampled input, computed directly from the s2d input to the
+    s2d(2H) output (offset 0) as one lhs_dilation=2 conv. Exact."""
+    kh, kw, I, O = w.shape
+    M, pad0 = _nearest_up_fold_map(kh, in_off)
+    Mj = jnp.asarray(M)
+    K32 = jnp.asarray(w, jnp.float32)
+    Kp = jnp.einsum("DaJR,EbKS,abio->DEJKiRSo", Mj, Mj, K32)
+    kt = Kp.shape[0]
+    Kp = Kp.reshape(kt, kt, 4 * I, 4 * O)
+    n_in = x_s2d.shape[1]
+    H = phys_size(n_in, in_off)      # input physical resolution
+    n_out = H                        # cells of s2d(2H) at offset 0
+    pad1 = (n_out - 1) + kt - pad0 - (2 * n_in - 1)
+    return _conv(x_s2d, Kp.astype(x_s2d.dtype), pad0=pad0, pad1=pad1,
+                 lhs_dilation=2)
+
+
 # ------------------------------------------------------------ resize
 
 

@@ -156,3 +156,22 @@ def test_truncated_noise_sample_bounds():
     xa = np.asarray(x)
     assert xa.shape == (100, 128)
     assert abs(xa).max() <= 1.0  # 0.5 * truncnorm(-2,2)
+
+
+def test_s2d_bottleneck_matches_plain(tiny):
+    """The space-to-depth bottleneck path (_block_mid_s2d) must equal the
+    plain path element-wise: exercises the plain->s2d 1x1 entry fold, the
+    composed nearest-up conv, the offset-alternating 3x3s and the 1x1 exit
+    fold on both an up and a non-up block."""
+    import dataclasses
+
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(4, bg.TINY.z_dim)),
+                    jnp.float32)
+    cv = jax.nn.softmax(jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, bg.TINY.num_classes))), -1)
+    plain_cfg = dataclasses.replace(bg.TINY, s2d_min_res=2 ** 30)
+    s2d_cfg = dataclasses.replace(bg.TINY, s2d_min_res=4)
+    a = bg.apply(tiny, z, cv, 1.0, plain_cfg, FP32)
+    b = bg.apply(tiny, z, cv, 1.0, s2d_cfg, FP32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-4)

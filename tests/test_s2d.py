@@ -205,6 +205,47 @@ def test_s2d_offset_up_from_s2d(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("out_off", [0, -1])
+def test_s2d_enter_conv1x1(rng, out_off):
+    x = r(rng, B, H, H, I)
+    w = r(rng, 1, 1, I, O)
+    a = S.s2d(conv2d(x, w))
+    y = S.s2d_enter_conv1x1(x, w, out_off=out_off)
+    if out_off:
+        np.testing.assert_array_equal(np.asarray(S.mask_phantoms(y)),
+                                      np.asarray(y))
+    np.testing.assert_allclose(np.asarray(S.un_s2d(S.s2d(S.un_s2d_off(y, out_off)))),
+                               np.asarray(S.un_s2d(a)), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("in_off", [0, -1])
+def test_s2d_exit_conv1x1(rng, in_off):
+    x = r(rng, B, H, H, I)
+    w = r(rng, 1, 1, I, O)
+    a = conv2d(x, w)
+    y = S.s2d_exit_conv1x1(to_off(x, in_off), w, in_off=in_off)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(y),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("in_off", [0, -1])
+def test_s2d_nearest_up_conv(rng, in_off):
+    from clip_glass_tpu.models.biggan.model import _upsample_nearest
+
+    x = r(rng, B, H, H, I)
+    w = r(rng, 3, 3, I, O)
+    # BigGAN 'SAME' pad convention: pad = (k-1)//2 both sides
+    up = _upsample_nearest(x)
+    a = jnp.asarray(np.asarray(
+        jax.lax.conv_general_dilated(
+            up, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                up.shape, w.shape, ("NHWC", "HWIO", "NHWC")))))
+    y = S.s2d_nearest_up_conv(to_off(x, in_off), w, in_off=in_off)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(S.un_s2d(y)),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_resize_from_s2d_offset(rng):
     img = r(rng, B, 32, 32, 3)
     a = resize_bilinear(jnp.transpose(img, (0, 3, 1, 2)), 12)
