@@ -83,19 +83,32 @@ class GenerationMeter:
     def reset(self):
         self._t0 = time.perf_counter()
         self._gens = 0
+        self._base = 0
 
     def update(self, n_gens: int = 1):
         self._gens += n_gens
 
     def set_generation(self, gen: int):
         """Pin the absolute generation counter (resumed searches / chunked
-        drivers that learn the count from the GA state)."""
+        drivers that learn the count from the GA state). The FIRST call
+        re-baselines the clock: the first chunk's wall time is dominated by
+        XLA compilation, so steady-state rates are measured from the second
+        chunk on (a single-chunk run reports no rate rather than a
+        compile-polluted one)."""
+        if self._gens == 0 and gen > 0:
+            self._t0 = time.perf_counter()
+            self._base = int(gen)
         self._gens = int(gen)
+
+    @property
+    def _measured_gens(self) -> int:
+        return self._gens - getattr(self, "_base", 0)
 
     @property
     def gens_per_sec(self) -> float:
         dt = time.perf_counter() - self._t0
-        return self._gens / dt if dt > 0 else 0.0
+        n = self._measured_gens if getattr(self, "_base", 0) else self._gens
+        return n / dt if dt > 0 else 0.0
 
     @property
     def candidates_per_sec(self) -> float:

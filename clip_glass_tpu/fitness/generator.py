@@ -484,10 +484,20 @@ class Generator:
 
     def save(self, generated, path: str):
         """Artifact dump (reference generator.py:63-72): image grid / single
-        image for txt2img, newline-joined captions for img2txt."""
+        image for txt2img, newline-joined captions for img2txt.
+
+        Device arrays are quantized to uint8 ON DEVICE before the transfer:
+        the jpg encoder quantizes identically anyway ((x*255+0.5) on [0,1]
+        inputs), and the host pull shrinks 4x — on a tunneled TPU the fp32
+        image transfer dominated the artifact callback."""
         if self.config.task == "txt2img":
             from clip_glass_tpu.utils.image import save_grid
-            save_grid(np.asarray(generated), path)
+            if not isinstance(generated, np.ndarray):
+                generated = np.asarray(jax.jit(
+                    lambda g: jnp.clip(jnp.asarray(g, jnp.float32) * 255.0
+                                       + 0.5, 0, 255).astype(jnp.uint8)
+                )(generated))
+            save_grid(generated, path)
         else:
             texts = self.decode_texts(np.asarray(generated))
             with open(path, "w") as f:

@@ -46,7 +46,12 @@ def show_grid(images: np.ndarray, nrow: int = 8):
 
 def save_grid(images: np.ndarray, path: str, nrow: int = 8):
     """Save a batch as a grid jpg (reference utils.py:5-7); single images
-    are saved directly (reference generator.py:64-67)."""
+    are saved directly (reference generator.py:64-67). Accepts floats in
+    [0,1] or pre-quantized uint8 (device-side quantization, fitness
+    generator.save)."""
+    images = np.asarray(images)
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 255.0
     images = np.asarray(images, np.float32)
     if images.shape[0] == 1:
         save_image(images[0], path)
