@@ -25,9 +25,8 @@ def main():
     import jax
 
     # persistent compile cache: repeated bench runs skip the big compiles
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_bench_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from clip_glass_tpu.core.backend import enable_compile_cache
+    enable_compile_cache()
 
     from clip_glass_tpu.config import get_config
     from clip_glass_tpu.evolve.algorithm import GAState

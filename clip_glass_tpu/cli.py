@@ -94,11 +94,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
-    # persistent compile cache: repeated searches of the same config skip
-    # the multi-minute full-size XLA compiles (same setup as bench.py)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_bench_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from clip_glass_tpu.core.backend import enable_compile_cache
+    enable_compile_cache()  # repeated searches skip the big XLA compiles
     from clip_glass_tpu.config import get_config
     from clip_glass_tpu.core.checkpoint import load_state, save_state
     from clip_glass_tpu.evolve.algorithm import minimize

@@ -20,3 +20,19 @@ def supports_host_callbacks() -> bool:
     except Exception:
         return True
     return "axon" not in version.lower()
+
+
+def enable_compile_cache(cache_dir: str = "~/.cache/jax_bench_cache") -> None:
+    """Point JAX's persistent compilation cache at `cache_dir` so repeated
+    runs skip the multi-minute full-size XLA compiles. Respects an explicit
+    user configuration: a set JAX_COMPILATION_CACHE_DIR env var (or an
+    already-configured cache dir) wins."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

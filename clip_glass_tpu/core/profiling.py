@@ -101,14 +101,9 @@ class GenerationMeter:
         self._gens = int(gen)
 
     @property
-    def _measured_gens(self) -> int:
-        return self._gens - getattr(self, "_base", 0)
-
-    @property
     def gens_per_sec(self) -> float:
         dt = time.perf_counter() - self._t0
-        n = self._measured_gens if getattr(self, "_base", 0) else self._gens
-        return n / dt if dt > 0 else 0.0
+        return (self._gens - self._base) / dt if dt > 0 else 0.0
 
     @property
     def candidates_per_sec(self) -> float:

@@ -493,15 +493,18 @@ class Generator:
         if self.config.task == "txt2img":
             from clip_glass_tpu.utils.image import save_grid
             if not isinstance(generated, np.ndarray):
-                generated = np.asarray(jax.jit(
-                    lambda g: jnp.clip(jnp.asarray(g, jnp.float32) * 255.0
-                                       + 0.5, 0, 255).astype(jnp.uint8)
-                )(generated))
+                generated = np.asarray(_quantize_u8(generated))
             save_grid(generated, path)
         else:
             texts = self.decode_texts(np.asarray(generated))
             with open(path, "w") as f:
                 f.write("\n".join(texts))
+
+
+@jax.jit
+def _quantize_u8(g):
+    return jnp.clip(jnp.asarray(g, jnp.float32) * 255.0 + 0.5,
+                    0, 255).astype(jnp.uint8)
 
 
 def _cosine(a, b):

@@ -21,6 +21,7 @@ tests/test_stylegan2_parity.py).
 
 from __future__ import annotations
 
+from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
@@ -91,9 +92,6 @@ def modulated_conv2d_up(x, w, style, *, demodulate: bool = True,
     if demodulate:
         y = y * demod_coef(w, style, eps).astype(y.dtype)[:, None, None, :]
     return y
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=None)

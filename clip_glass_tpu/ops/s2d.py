@@ -363,7 +363,7 @@ def s2d_modulated_conv2d_up(x, w, style, *, demodulate: bool = True,
         Kd, pad0 = s2d_up_kernel_from_s2d(w, filter_taps, in_off)
         n_in = x.shape[1]
         n_out = phys_size(n_in, in_off)  # cells of s2d(2H) at offset 0
-        pad1 = n_out + 4 - pad0 - 2 * n_in
+        pad1 = _pad1_for(2 * n_in - 1, n_out, 4, 1, pad0)  # dilated length
         xs = x * tile_channels(style).astype(x.dtype)[:, None, None, :]
         y = _conv(xs, Kd.astype(x.dtype), pad0=pad0, pad1=pad1, lhs_dilation=2)
     else:
@@ -447,7 +447,7 @@ def s2d_exit_conv1x1(x_s2d, w, in_off: int = 0):
             K = K.at[th, tw, ci:ci + I, :].set(w32)
     n_in = x_s2d.shape[1]
     H = phys_size(n_in, in_off)
-    pad1 = H - 1 + 2 - pad0 - (2 * n_in - 1)
+    pad1 = _pad1_for(2 * n_in - 1, H, 2, 1, pad0)  # dilated input length
     return _conv(x_s2d, K.astype(x_s2d.dtype), pad0=pad0, pad1=pad1,
                  lhs_dilation=2)
 
@@ -492,7 +492,7 @@ def s2d_nearest_up_conv(x_s2d, w, in_off: int = 0):
     n_in = x_s2d.shape[1]
     H = phys_size(n_in, in_off)      # input physical resolution
     n_out = H                        # cells of s2d(2H) at offset 0
-    pad1 = (n_out - 1) + kt - pad0 - (2 * n_in - 1)
+    pad1 = _pad1_for(2 * n_in - 1, n_out, kt, 1, pad0)  # dilated length
     return _conv(x_s2d, Kp.astype(x_s2d.dtype), pad0=pad0, pad1=pad1,
                  lhs_dilation=2)
 
