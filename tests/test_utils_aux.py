@@ -97,3 +97,33 @@ def test_progress_writer(capsys):
     out = buf.getvalue()
     assert "3/3 (100%)" in out and "best=0.5" in out
     assert out.endswith("\n")
+
+
+def test_save_grid_uint8_matches_float(tmp_path):
+    """The device-side uint8 quantization path (fitness generator.save)
+    must produce the same pixels as the float path."""
+    import numpy as np
+    from PIL import Image
+
+    from clip_glass_tpu.utils.image import save_grid
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (4, 3, 8, 8)).astype(np.float32)
+    u8 = np.clip(imgs * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    pf, pu = str(tmp_path / "f.png"), str(tmp_path / "u.png")
+    save_grid(imgs, pf)
+    save_grid(u8, pu)
+    np.testing.assert_array_equal(np.asarray(Image.open(pf)),
+                                  np.asarray(Image.open(pu)))
+
+
+def test_enable_compile_cache_respects_env(monkeypatch, tmp_path):
+    """An explicit JAX_COMPILATION_CACHE_DIR must not be clobbered."""
+    import jax
+
+    from clip_glass_tpu.core.backend import enable_compile_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "user"))
+    enable_compile_cache(str(tmp_path / "ours"))
+    assert jax.config.jax_compilation_cache_dir == before
