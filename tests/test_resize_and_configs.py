@@ -74,3 +74,29 @@ def test_clip_checkpoint_hash_verification(tmp_path):
     assert verify_checkpoint(str(p), "ViT-B/32") is False
     with pytest.raises(KeyError):
         verify_checkpoint(str(p), "ViT-L/99")
+
+
+def test_fullsize_eval_shapes_all_configs():
+    """Trace the FULL-SIZE fitness evaluation of every registry config with
+    abstract weights (jax.eval_shape — no arrays, no compile): catches
+    shape/bookkeeping regressions in paths that only activate at production
+    resolutions (e.g. the s2d offset lattices at >= 512 px), which the tiny
+    model tests cannot reach."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_glass_tpu.config import get_config, list_configs
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+
+    for name in list_configs():
+        config = get_config(name).replace(weights="abstract")
+        if config.task == "img2txt":
+            continue  # the BPE round trip is a host excursion, not traceable
+        config = config.replace(target="a shape check")
+        problem = GenerationProblem(config, clip_weights="abstract")
+        gen = problem.generator
+        X = jax.ShapeDtypeStruct((config.pop_size, config.n_var), jnp.float32)
+        out = jax.eval_shape(lambda X, b: gen.eval_population(X, b),
+                             X, gen.bundle)
+        assert out.shape == (config.pop_size, config.n_obj), name
+        assert out.dtype == jnp.float32, name
