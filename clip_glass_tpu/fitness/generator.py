@@ -419,25 +419,34 @@ class Generator:
         return sg2._s2d_supported(cfg) and cfg.resolution >= cfg.s2d_min_res
 
     def _eval_stylegan2_s2d(self, X, bundle, key) -> jnp.ndarray:
-        """s2d-domain fitness: decode -> synthesis(s2d) -> norm -> phase-aware
-        224px resize -> CLIP; D consumes the s2d image for the hinge."""
-        from clip_glass_tpu.ops.s2d import resize_bilinear_from_s2d
+        """s2d-domain fitness: decode -> synthesis (s2d features, s4d or s2d
+        RGB) -> norm -> phase-aware 224px resize -> CLIP; D consumes the
+        packed image for the hinge."""
+        from clip_glass_tpu.ops.s2d import (resize_bilinear_from_s2d,
+                                            resize_bilinear_from_s4d)
 
+        s4d = sg2.rgb_domain(self.model_cfg) == "s4d"
         off = sg2.s2d_output_offset(self.model_cfg)
         (z,) = latent_mod.decode_stylegan2(X)
         img = sg2.generator_apply(bundle["g"], z, self.model_cfg,
                                   noise=list(bundle["noise"]),
                                   policy=self.policy, output_s2d=True)
         img = biggan_norm(img)
-        i224 = resize_bilinear_from_s2d(img, self.clip_cfg.image_resolution,
-                                        in_off=off)
+        if s4d:
+            i224 = resize_bilinear_from_s4d(img,
+                                            self.clip_cfg.image_resolution)
+        else:
+            i224 = resize_bilinear_from_s2d(img,
+                                            self.clip_cfg.image_resolution,
+                                            in_off=off)
         feats = clip_model.encode_image(bundle["clip"], i224,
                                         self.clip_cfg, self.policy)
         sim = _cosine(feats, bundle["target"])
         if self.config.n_obj == 2 and self.config.use_discriminator:
             d = sg2.discriminator_apply(bundle["d"], biggan_denorm(img),
                                         self.model_cfg, policy=self.policy,
-                                        input_s2d=True, input_offset=off)
+                                        input_s2d=not s4d, input_offset=off,
+                                        input_s4d=s4d)
             hinge = jax.nn.relu(1.0 - d[:, 0])
             return jnp.stack([-sim, hinge], axis=1).astype(jnp.float32)
         return (-sim[:, None]).astype(jnp.float32)

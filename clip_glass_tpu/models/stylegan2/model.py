@@ -70,6 +70,11 @@ class SG2Config:
     # so every same-res 3x3 folds to a [2,2] kernel instead of [3,3] — a
     # 2.25x MAC cut on the dominant high-res convs (ops/s2d.py docstring).
     s2d_offsets: bool = True
+    # Carry the RGB/skip-accumulator path (C = data_channels) in the 4x4
+    # space-to-depth domain (s4d, 16C channels) at the s2d levels: 12-channel
+    # s2d RGB tensors waste ~90% of every lane tile (ops/s2d.py "s4d RGB
+    # domain" section).
+    rgb_s4d: bool = True
 
     @property
     def n_blocks(self) -> int:
@@ -256,9 +261,20 @@ def _s2d_supported(cfg: SG2Config) -> bool:
 
 def s2d_output_offset(cfg: SG2Config) -> int:
     """Lattice offset of the tensor synthesis_apply(output_s2d=True) returns
-    (and discriminator_apply(input_s2d=True) expects as input_offset)."""
+    (and discriminator_apply(input_s2d=True) expects as input_offset).
+    Irrelevant when rgb_domain(cfg) == "s4d" (s4d carries no offset)."""
     return -1 if (cfg.s2d_offsets and _s2d_supported(cfg)
                   and cfg.resolution >= cfg.s2d_min_res) else 0
+
+
+def rgb_domain(cfg: SG2Config) -> str:
+    """Layout of the image synthesis_apply(output_s2d=True) returns:
+    "s4d" ([B, H/4, W/4, 16*data_channels], offset-free) when the top level
+    runs s2d with rgb_s4d, else "s2d" (at s2d_output_offset(cfg))."""
+    if (cfg.rgb_s4d and _s2d_supported(cfg)
+            and cfg.resolution >= cfg.s2d_min_res and cfg.resolution % 4 == 0):
+        return "s4d"
+    return "s2d"
 
 
 def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
@@ -282,7 +298,8 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
     x = jnp.broadcast_to(policy.cast_compute(params["const"])[None],
                          (B,) + params["const"].shape)
     y = None
-    x_s2d = y_s2d = False
+    x_s2d = False
+    y_dom = "plain"  # layout of the skip accumulator: plain | s2d | s4d
     x_off = y_off = 0  # lattice offsets (0 or -1), see ops/s2d.py docstring
     res = cfg.base_size
     layer_idx = 0
@@ -349,41 +366,68 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
                 x = s2d_ops.mask_phantoms(x)
         layer_idx += n_layers
 
+        use_s4d = x_s2d and cfg.rgb_s4d and res % 4 == 0
         if y is not None:
-            if x_s2d:
-                if y_s2d:  # s2d(res/2) -> s2d(res): re-enter from plain
+            if use_s4d:
+                if y_dom == "s4d":
+                    y = s2d_ops.s4d_upsample2x(y, taps)
+                else:  # enter s4d from the plain level below
+                    if y_dom == "s2d":
+                        y = s2d_ops.un_s2d_off(y, y_off)
+                    y = s2d_ops.s2d_to_s4d(s2d_ops.s2d_upsample2x(y, taps))
+            elif x_s2d:
+                if y_dom == "s2d":  # s2d(res/2) -> s2d(res)
                     y = s2d_ops.un_s2d_off(y, y_off)
                 y = s2d_ops.s2d_upsample2x(y, taps)
                 if x_off:  # match the ToRGB lattice (cheap: C = 4*data_ch)
                     y = s2d_ops.shift_to_m1(y)
-                y_s2d = True
             else:
                 y = upsample2x(y, taps)
         rp = params["to_rgb"][bi]
         lat_idx = min(layer_idx, cfg.num_latents - 1)
+        rb = policy.cast_compute(rp["b"])
+        style = None
         if cfg.modulate_data_out:
             style = style_from_latent(dl[:, lat_idx],
                                       policy.cast_compute(rp["style"]["w"]),
                                       policy.cast_compute(rp["style"]["b"]))
-            if x_s2d:
+        if use_s4d:
+            # ToRGB straight into the s4d domain: 1x1 modulation is an
+            # input scale (ops/modulated_conv docstring), the fold selects
+            # (cell, phase) per output phase
+            xs = x
+            if style is not None:
+                xs = x * s2d_ops.tile_channels(style).astype(x.dtype)[
+                    :, None, None, :]
+            t = s2d_ops.s4d_from_s2d_conv1x1(xs, rp["w"], in_off=x_off)
+            t = bias_act(t, s2d_ops.tile_channels(rb, 16), act="linear")
+            y = t if y is None else y + t
+            y_dom = "s4d"
+        elif x_s2d:
+            if style is not None:
                 t = s2d_ops.s2d_modulated_conv2d(x, rp["w"], style,
                                                  demodulate=False, eps=cfg.eps,
                                                  in_off=x_off, out_off=x_off)
             else:
+                t = s2d_ops.s2d_conv2d(x, rp["w"], x_off, x_off)
+            t = bias_act(t, s2d_ops.tile_channels(rb), act="linear")
+            y = t if y is None else y + t
+            y_dom, y_off = "s2d", x_off
+        else:
+            if style is not None:
                 t = modulated_conv2d(x, policy.cast_compute(rp["w"]), style,
                                      demodulate=False, eps=cfg.eps)
-        else:
-            t = (s2d_ops.s2d_conv2d(x, rp["w"], x_off, x_off) if x_s2d
-                 else conv2d(x, policy.cast_compute(rp["w"])))
-        rb = policy.cast_compute(rp["b"])
-        t = bias_act(t, s2d_ops.tile_channels(rb) if x_s2d else rb,
-                     act="linear")
-        y = t if y is None else y + t
-        y_s2d, y_off = x_s2d, x_off
+            else:
+                t = conv2d(x, policy.cast_compute(rp["w"]))
+            t = bias_act(t, rb, act="linear")
+            y = t if y is None else y + t
+            y_dom = "plain"
 
     if output_s2d:
+        if y_dom == "s4d":  # offset-free; contract: rgb_domain(cfg)=="s4d"
+            return y
         target = s2d_output_offset(cfg)
-        if not y_s2d:
+        if y_dom == "plain":
             y = s2d_ops.s2d(y)
             y_off = 0
         if y_off != target:  # only 0 -> -1 can occur (odd-layer blocks)
@@ -391,7 +435,9 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
         if target:  # contract: phantom entries of the returned image are 0
             y = s2d_ops.mask_phantoms(y)
         return y
-    if y_s2d:
+    if y_dom == "s4d":
+        y = s2d_ops.un_s4d(y)
+    elif y_dom == "s2d":
         y = s2d_ops.un_s2d_off(y, y_off)
     return jnp.transpose(y, (0, 3, 1, 2))  # NHWC -> NCHW (reference layout)
 
@@ -467,7 +513,8 @@ def generator_apply(params, latents=None, cfg: SG2Config = CONFIG_F,
 
 def discriminator_apply(params, images, cfg: SG2Config = CONFIG_F,
                         labels=None, policy: Policy = FP32,
-                        input_s2d: bool = False, input_offset: int = 0):
+                        input_s2d: bool = False, input_offset: int = 0,
+                        input_s4d: bool = False):
     """images: [B, C, H, W] in [-1, 1] -> score logits [B, 1]
     (reference stylegan2/models.py:1193-1230).
 
@@ -483,18 +530,23 @@ def discriminator_apply(params, images, cfg: SG2Config = CONFIG_F,
 
     taps = tuple(cfg.filter_taps)
     res_scale = 1.0 / math.sqrt(2.0)
-    if input_s2d:
+    fr = params["from_rgb"]
+    if input_s4d:
+        # fromRGB folds s4d(0) -> s2d at the offset the conv0 chain wants
+        x = policy.cast_compute(images)  # [B, H/4, W/4, 16*data_ch]
+        res = 4 * images.shape[1]
+        x_off = -1 if (cfg.s2d_offsets and res >= cfg.s2d_min_res) else 0
+        x = s2d_ops.s2d_from_s4d_conv1x1(x, fr["w"], out_off=x_off)
+        x = bias_act(x, s2d_ops.tile_channels(policy.cast_compute(fr["b"])),
+                     act="lrelu")
+        if x_off:
+            x = s2d_ops.mask_phantoms(x)
+        x_s2d = True
+    elif input_s2d:
         x = policy.cast_compute(images)  # NHWC s2d
         x_off = input_offset
         res = s2d_ops.phys_size(images.shape[1], x_off)
-    else:
-        x = policy.cast_compute(jnp.transpose(images, (0, 2, 3, 1)))  # NHWC
-        res = images.shape[2]
-        x_off = 0
-    x_s2d = input_s2d
-
-    fr = params["from_rgb"]
-    if x_s2d:
+        x_s2d = True
         if cfg.s2d_offsets and x_off == 0 and res >= cfg.s2d_min_res:
             # the offset chain wants the first conv0 input at lattice -1
             x = s2d_ops.shift_to_m1(x)
@@ -505,6 +557,10 @@ def discriminator_apply(params, images, cfg: SG2Config = CONFIG_F,
         if x_off:
             x = s2d_ops.mask_phantoms(x)
     else:
+        x = policy.cast_compute(jnp.transpose(images, (0, 2, 3, 1)))  # NHWC
+        res = images.shape[2]
+        x_off = 0
+        x_s2d = False
         x = conv2d(x, policy.cast_compute(fr["w"]))
         x = bias_act(x, policy.cast_compute(fr["b"]), act="lrelu")
 

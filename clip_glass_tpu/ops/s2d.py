@@ -497,6 +497,172 @@ def s2d_nearest_up_conv(x_s2d, w, in_off: int = 0):
                  lhs_dilation=2)
 
 
+# ------------------------------------------------------------ s4d RGB domain
+#
+# The RGB/skip-accumulator path carries C=3 tensors; even in s2d form
+# (12 channels) they waste ~90% of every (8,128) lane tile, and the trace
+# shows ~12 ms/generation of ToRGB writes, norm/denorm layout copies and
+# the D fromRGB read against such buffers. A 4x4 space-to-depth packing
+# (s4d: [B, H/4, W/4, 16C] = 48 channels, phase-major with channel
+# (rp*4+cp)*C + c for the block-internal row/col rp, cp in 0..3) cuts the
+# physical size 4x. All boundary ops fold exactly: ToRGB lands s2d->s4d,
+# the FIR skip upsample runs s4d->s4d (lhs_dilation over cells, the
+# parity-dependent taps resolved by the dilation zeros), the 224px resize
+# contracts the 16 phases, and the D fromRGB folds s4d->s2d. s4d tensors
+# are kept at lattice offset 0 (rows 4v..4v+3) — no phantoms.
+
+
+def s4d(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/4, W/4, 16C], phase-major (rp*4+cp)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 4, 4, W // 4, 4, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, W // 4, 16 * C)
+
+
+def un_s4d(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H/4, W/4, 16C] -> [B, H, W, C] (inverse of s4d)."""
+    B, Hq, Wq, C16 = x.shape
+    C = C16 // 16
+    x = x.reshape(B, Hq, Wq, 4, 4, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 4 * Hq, 4 * Wq, C)
+
+
+def s2d_to_s4d(x_s2d: jnp.ndarray) -> jnp.ndarray:
+    """Repack an offset-0 s2d tensor [B, H/2, W/2, 4C] as s4d
+    [B, H/4, W/4, 16C]: s4d phase rp splits as (jr, r2) = (rp//2, rp%2)
+    where jr indexes the s2d cell pair and r2 the s2d phase."""
+    B, n, m, C4 = x_s2d.shape
+    C = C4 // 4
+    x = x_s2d.reshape(B, n // 2, 2, m // 2, 2, 2, 2, C)
+    # dims: B, q1, jr, q2, kr, r2, c2, C -> B, q1, q2, (jr, r2, kr, c2), C
+    x = x.transpose(0, 1, 3, 2, 5, 4, 6, 7)
+    return x.reshape(B, n // 2, m // 2, 16 * C)
+
+
+def s4d_from_s2d_conv1x1(x_s2d, w, in_off: int = 0):
+    """1x1 conv [I -> O] from an s2d tensor (lattice `in_off`) straight to
+    s4d(0): per output phase rp the source row is 4v''+rp, i.e. s2d cell
+    (4v''+rp-oi)//2 phase (4v''+rp-oi)%2 — a stride-2 conv whose taps
+    select the right (cell, phase) per output phase. Exact."""
+    assert w.shape[0] == w.shape[1] == 1
+    I, O = w.shape[2], w.shape[3]
+    w32 = jnp.asarray(w[0, 0], jnp.float32)
+    taus = [(rp - in_off) // 2 for rp in range(4)]
+    rjs = [(rp - in_off) % 2 for rp in range(4)]
+    kh = max(taus) + 1
+    K = jnp.zeros((kh, kh, 4 * I, 16 * O), jnp.float32)
+    for rp in range(4):
+        for cp in range(4):
+            ci = (rjs[rp] * 2 + rjs[cp]) * I
+            co = (rp * 4 + cp) * O
+            K = K.at[taus[rp], taus[cp], ci:ci + I, co:co + O].set(w32)
+    n_in = x_s2d.shape[1]
+    H = phys_size(n_in, in_off)
+    n_out = H // 4
+    pad1 = _pad1_for(n_in, n_out, kh, 2, 0)
+    return _conv(x_s2d, K.astype(x_s2d.dtype), stride=2, pad0=0, pad1=pad1)
+
+
+@lru_cache(maxsize=None)
+def _s4d_up_map(filter_taps: tuple, gain: float):
+    """Fold of the FIR 2x upsample (reference Upsample) from s4d(H, 0) to
+    s4d(2H, 0) as a lhs_dilation=2 conv over cells: out full row
+    m = 4v''+rv = 2p+rm; Y[m] = sum_dj k2[2dj+1-rm] X[p+dj-1]; the input
+    pixel u = 2v'' + rv//2 + dj - 1 maps to cell u//4 / phase u%4, with the
+    cell arithmetic depending on v'' parity — both parities get their own
+    tap slots, the dilation zeros mask the mismatched one. Returns
+    (M[t, pu, rv] coefficients, pad0)."""
+    k1 = np.asarray(filter_taps, np.float64)
+    k1 = k1 / k1.sum() * np.sqrt(float(gain)) * 2.0  # separable 1-D factor
+    entries = {}
+    pad0 = 2
+    for parity in (0, 1):        # v'' = 2w + parity
+        for rv in range(4):
+            rm = rv % 2
+            for dj in (0, 1):
+                coef = float(k1[2 * dj + 1 - rm])
+                if coef == 0.0:
+                    continue
+                delta = rv // 2 + dj - 1
+                u_base = 2 * parity + delta      # u - 4w
+                c_rel = u_base // 4              # cell - w
+                pu = u_base % 4
+                tau = 2 * c_rel - parity + pad0  # dilated tap index
+                key = (tau, pu, rv)
+                entries[key] = entries.get(key, 0.0) + coef
+    kt = max(t for (t, _, _) in entries) + 1
+    M = np.zeros((kt, 4, 4), np.float32)
+    for (t, pu, rv), coef in entries.items():
+        M[t, pu, rv] = coef
+    return M, pad0
+
+
+def s4d_upsample2x(y: jnp.ndarray, filter_taps=(1, 3, 3, 1),
+                   gain: float = 1.0) -> jnp.ndarray:
+    """upsample2x on an s4d tensor: [B, H/4, W/4, 16C] -> [B, H/2, W/2, 16C]
+    (physical 2x). Exact (tests vs ops/upfirdn.upsample2x)."""
+    C = y.shape[-1] // 16
+    M, pad0 = _s4d_up_map(tuple(filter_taps), gain)
+    kt = M.shape[0]
+    Mj = jnp.asarray(M)
+    eye = jnp.eye(C, dtype=jnp.float32)
+    # K[t1, t2, (pu1*4+pu2)*C+c, (rv1*4+rv2)*C+c]
+    K = jnp.einsum("tpr,uqs,cd->tupqcrsd", Mj, Mj, eye)
+    K = K.reshape(kt, kt, 16 * C, 16 * C)
+    n_in = y.shape[1]
+    n_out = 2 * n_in
+    pad1 = _pad1_for(2 * n_in - 1, n_out, kt, 1, pad0)
+    return _conv(y, K.astype(y.dtype), pad0=pad0, pad1=pad1, lhs_dilation=2)
+
+
+def s2d_from_s4d_conv1x1(y_s4d, w, out_off: int = 0):
+    """1x1 conv [I -> O] from an s4d(0) tensor to an s2d tensor at lattice
+    `out_off` (the D fromRGB entry): out row m = 2v'+rp+oo reads s4d cell
+    m//4 phase m%4 — a lhs_dilation=2 conv over cells. Exact."""
+    assert w.shape[0] == w.shape[1] == 1
+    I, O = w.shape[2], w.shape[3]
+    w32 = jnp.asarray(w[0, 0], jnp.float32)
+    # out cell v' parity of m vs 4: m = 2v' + rp + oo; v' = 2w + parity
+    pad0 = 2
+    entries = {}
+    for parity in (0, 1):
+        for rp in range(2):
+            m_base = 2 * parity + rp + out_off   # m - 4w
+            c_rel = m_base // 4
+            pu = m_base % 4
+            tau = 2 * c_rel - parity + pad0
+            entries[(tau, pu, rp, parity)] = 1.0
+    kt = max(t for (t, _, _, _) in entries) + 1
+    K = jnp.zeros((kt, kt, 16 * I, 4 * O), jnp.float32)
+    for (t1, pu1, rp1, _) in entries:
+        for (t2, pu2, rp2, _) in entries:
+            ci = (pu1 * 4 + pu2) * I
+            co = (rp1 * 2 + rp2) * O
+            K = K.at[t1, t2, ci:ci + I, co:co + O].set(w32)
+    n_in = y_s4d.shape[1]
+    H = 4 * n_in
+    n_out = n_cells(H, out_off)
+    pad1 = _pad1_for(2 * n_in - 1, n_out, kt, 1, pad0)
+    return _conv(y_s4d, K.astype(y_s4d.dtype), pad0=pad0, pad1=pad1,
+                 lhs_dilation=2)
+
+
+def resize_bilinear_from_s4d(img_s4d: jnp.ndarray, size: int = 224):
+    """[B, H/4, W/4, 16C] s4d image -> [B, C, size, size] (NCHW), the
+    bilinear weight matrix folding the 4-phase index per dimension."""
+    B, Hq, Wq, C16 = img_s4d.shape
+    C = C16 // 16
+    dt = img_s4d.dtype
+    R_h = jnp.asarray(_bilinear_matrix(4 * Hq, size).reshape(size, Hq, 4), dt)
+    R_w = jnp.asarray(_bilinear_matrix(4 * Wq, size).reshape(size, Wq, 4), dt)
+    x = img_s4d.reshape(B, Hq, Wq, 4, 4, C)
+    t = jnp.einsum("bpqrsc,opr->boqsc", x, R_h,
+                   preferred_element_type=jnp.float32)
+    z = jnp.einsum("boqsc,wqs->bowc", t.astype(dt), R_w,
+                   preferred_element_type=jnp.float32)
+    return jnp.transpose(z, (0, 3, 1, 2))
+
+
 # ------------------------------------------------------------ resize
 
 

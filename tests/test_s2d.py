@@ -254,6 +254,53 @@ def test_resize_from_s2d_offset(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+# ---------------------------------------------------------------- s4d (RGB)
+
+
+def test_s4d_roundtrip(rng):
+    x = r(rng, B, H, H, 3)
+    np.testing.assert_array_equal(np.asarray(S.un_s4d(S.s4d(x))), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(S.s2d_to_s4d(S.s2d(x))),
+                                  np.asarray(S.s4d(x)))
+
+
+@pytest.mark.parametrize("in_off", [0, -1])
+def test_s4d_from_s2d_conv1x1(rng, in_off):
+    x = r(rng, B, H, H, I)
+    w = r(rng, 1, 1, I, 3)
+    a = S.s4d(conv2d(x, w))
+    y = S.s4d_from_s2d_conv1x1(to_off(x, in_off), w, in_off=in_off)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(y),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_s4d_upsample2x(rng):
+    y = r(rng, B, H, H, 3)
+    a = S.s4d(upsample2x(y))
+    b = S.s4d_upsample2x(S.s4d(y))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("out_off", [0, -1])
+def test_s2d_from_s4d_conv1x1(rng, out_off):
+    y = r(rng, B, H, H, 3)
+    w = r(rng, 1, 1, 3, O)
+    a = conv2d(y, w)
+    z = S.s2d_from_s4d_conv1x1(S.s4d(y), w, out_off=out_off)
+    np.testing.assert_allclose(np.asarray(a),
+                               np.asarray(S.un_s2d_off(z, out_off)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_resize_from_s4d(rng):
+    img = r(rng, B, 32, 32, 3)
+    a = resize_bilinear(jnp.transpose(img, (0, 3, 1, 2)), 12)
+    b = S.resize_bilinear_from_s4d(S.s4d(img), 12)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+
 # ---------------------------------------------------------------- model level
 
 TINY_S2D = dataclasses.replace(sg2.TINY, s2d_min_res=8)
@@ -288,7 +335,24 @@ def test_synthesis_output_s2d_layout(tiny_params, rng):
     a = sg2.generator_apply(gp, z, TINY_S2D, noise=noise, policy=FP32)
     b = sg2.generator_apply(gp, z, TINY_S2D, noise=noise, policy=FP32,
                             output_s2d=True)
-    off = sg2.s2d_output_offset(TINY_S2D)
+    assert sg2.rgb_domain(TINY_S2D) == "s4d"
+    assert b.shape == (4, 4, 4, 48)
+    np.testing.assert_allclose(
+        np.asarray(a),
+        np.asarray(jnp.transpose(S.un_s4d(b), (0, 3, 1, 2))),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_synthesis_output_s2d_layout_no_s4d(tiny_params, rng):
+    """With rgb_s4d disabled the contract is the offset s2d image with zero
+    phantoms."""
+    cfg = dataclasses.replace(TINY_S2D, rgb_s4d=False)
+    gp, _, noise = tiny_params
+    z = r(rng, 4, sg2.TINY.latent_size)
+    a = sg2.generator_apply(gp, z, cfg, noise=noise, policy=FP32)
+    b = sg2.generator_apply(gp, z, cfg, noise=noise, policy=FP32,
+                            output_s2d=True)
+    off = sg2.s2d_output_offset(cfg)
     n = S.n_cells(16, off)
     assert off == -1 and b.shape == (4, n, n, 12)
     np.testing.assert_allclose(
@@ -298,6 +362,17 @@ def test_synthesis_output_s2d_layout(tiny_params, rng):
     # contract: phantom entries are exactly zero
     np.testing.assert_array_equal(np.asarray(S.mask_phantoms(b)),
                                   np.asarray(b))
+
+
+def test_discriminator_s4d_matches_plain(tiny_params, rng):
+    gp, dp, _ = tiny_params
+    img = r(rng, 4, 3, 16, 16)
+    a = sg2.discriminator_apply(dp, img, sg2.TINY, policy=FP32)
+    img_s4d = S.s4d(jnp.transpose(img, (0, 2, 3, 1)))
+    b = sg2.discriminator_apply(dp, img_s4d, TINY_S2D, policy=FP32,
+                                input_s4d=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=5e-4, atol=5e-4)
 
 
 def test_discriminator_s2d_matches_plain(tiny_params, rng):
