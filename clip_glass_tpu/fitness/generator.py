@@ -410,7 +410,9 @@ class Generator:
     def _s2d_active(self) -> bool:
         """The StyleGAN2 fitness pipeline runs end-to-end in the
         space-to-depth domain (ops/s2d.py) when the model's top level
-        qualifies: synthesis emits [B, H/2, W/2, 12], the discriminator and
+        qualifies: synthesis emits the packed image named by
+        sg2.rgb_domain(cfg) — s4d [B, H/4, W/4, 48] by default, or s2d
+        [B, nh, nw, 12] at s2d_output_offset(cfg) — the discriminator and
         the CLIP resize consume it directly, and the full-resolution image
         never materializes in HBM (2.5x measured on the 1024px level)."""
         if self.config.model != "stylegan2":

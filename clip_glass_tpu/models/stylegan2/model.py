@@ -286,8 +286,11 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
     Levels with output resolution >= cfg.s2d_min_res execute in the
     space-to-depth domain (ops/s2d.py) — same math, phase-composed kernels,
     no full-resolution tensors. With output_s2d=True the final image is
-    returned in that form: [B, H/2, W/2, 12] NHWC phase-major (the fitness
-    path feeds it to the s2d discriminator/resize without ever interleaving).
+    returned packed, in the layout rgb_domain(cfg) names: "s4d"
+    ([B, H/4, W/4, 16*data_ch], offset-free — the default) or "s2d"
+    ([B, nh, nw, 4*data_ch] at lattice s2d_output_offset(cfg), zero
+    phantoms). The fitness path feeds it to the matching discriminator/
+    resize entry without ever interleaving.
     """
     from clip_glass_tpu.ops import s2d as s2d_ops
 
@@ -400,9 +403,7 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
                 xs = x * s2d_ops.tile_channels(style).astype(x.dtype)[
                     :, None, None, :]
             t = s2d_ops.s4d_from_s2d_conv1x1(xs, rp["w"], in_off=x_off)
-            t = bias_act(t, s2d_ops.tile_channels(rb, 16), act="linear")
-            y = t if y is None else y + t
-            y_dom = "s4d"
+            tile, y_dom = 16, "s4d"
         elif x_s2d:
             if style is not None:
                 t = s2d_ops.s2d_modulated_conv2d(x, rp["w"], style,
@@ -410,18 +411,17 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
                                                  in_off=x_off, out_off=x_off)
             else:
                 t = s2d_ops.s2d_conv2d(x, rp["w"], x_off, x_off)
-            t = bias_act(t, s2d_ops.tile_channels(rb), act="linear")
-            y = t if y is None else y + t
-            y_dom, y_off = "s2d", x_off
+            tile, y_dom, y_off = 4, "s2d", x_off
         else:
             if style is not None:
                 t = modulated_conv2d(x, policy.cast_compute(rp["w"]), style,
                                      demodulate=False, eps=cfg.eps)
             else:
                 t = conv2d(x, policy.cast_compute(rp["w"]))
-            t = bias_act(t, rb, act="linear")
-            y = t if y is None else y + t
-            y_dom = "plain"
+            tile, y_dom = 1, "plain"
+        t = bias_act(t, rb if tile == 1 else s2d_ops.tile_channels(rb, tile),
+                     act="linear")
+        y = t if y is None else y + t
 
     if output_s2d:
         if y_dom == "s4d":  # offset-free; contract: rgb_domain(cfg)=="s4d"

@@ -9,19 +9,24 @@ import os
 import numpy as np
 
 
+def _grid_cells(b: int, h: int, w: int, nrow: int, padding: int):
+    """Shared grid geometry: ((H', W'), [(y, x) per tile])."""
+    ncol = min(nrow, b)
+    nrows = math.ceil(b / ncol)
+    shape = (padding + nrows * (h + padding), padding + ncol * (w + padding))
+    cells = [(padding + (i // ncol) * (h + padding),
+              padding + (i % ncol) * (w + padding)) for i in range(b)]
+    return shape, cells
+
+
 def make_grid(images: np.ndarray, nrow: int = 8, padding: int = 2,
               pad_value: float = 0.0) -> np.ndarray:
     """[B, C, H, W] floats in [0,1] -> [C, H', W'] grid
     (torchvision.utils.make_grid semantics)."""
     b, c, h, w = images.shape
-    ncol = min(nrow, b)
-    nrows = math.ceil(b / ncol)
-    grid = np.full((c, padding + nrows * (h + padding),
-                    padding + ncol * (w + padding)), pad_value, np.float32)
-    for idx in range(b):
-        r, col = divmod(idx, ncol)
-        y = padding + r * (h + padding)
-        x = padding + col * (w + padding)
+    (gh, gw), cells = _grid_cells(b, h, w, nrow, padding)
+    grid = np.full((c, gh, gw), pad_value, np.float32)
+    for idx, (y, x) in enumerate(cells):
         grid[:, y:y + h, x:x + w] = images[idx]
     return grid
 
@@ -50,14 +55,9 @@ def _grid_u8(images: np.ndarray, nrow: int = 8, padding: int = 2):
     """[B, C, H, W] uint8 -> [H', W', C] uint8 grid, assembled HWC-native
     (no float round trip, no strided elementwise math)."""
     b, c, h, w = images.shape
-    ncol = min(nrow, b)
-    nrows = -(-b // ncol)
-    out = np.zeros((padding + nrows * (h + padding),
-                    padding + ncol * (w + padding), c), np.uint8)
-    for i in range(b):
-        r, col = divmod(i, ncol)
-        y = padding + r * (h + padding)
-        x = padding + col * (w + padding)
+    (gh, gw), cells = _grid_cells(b, h, w, nrow, padding)
+    out = np.zeros((gh, gw, c), np.uint8)
+    for i, (y, x) in enumerate(cells):
         out[y:y + h, x:x + w] = images[i].transpose(1, 2, 0)
     return out
 
