@@ -98,6 +98,22 @@ def main():
         "unit": "candidates/s/chip",
         "vs_baseline": round(cand_per_sec_per_chip / baseline, 2) if baseline else None,
     }
+
+    # model-FLOPs accounting + MFU (core/flops.py: algorithmic work of the
+    # reference-defined fitness only — execution-domain overheads count
+    # against utilization, never for it)
+    from clip_glass_tpu.core import flops as flops_mod
+    fpc = flops_mod.fitness_flops_per_candidate(
+        config, problem.generator.model_cfg, problem.generator.clip_cfg)
+    kind = jax.devices()[0].device_kind
+    peak = flops_mod.chip_peak_flops(kind)
+    out["model_gflops_per_candidate"] = round(fpc / 1e9, 2)
+    out["model_tflops_per_sec_per_chip"] = round(
+        fpc * cand_per_sec_per_chip / 1e12, 2)
+    out["device_kind"] = kind
+    if peak:
+        out["mfu"] = round(fpc * cand_per_sec_per_chip / peak, 4)
+
     print(json.dumps(out))
     return 0
 

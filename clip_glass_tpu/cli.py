@@ -43,8 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--weights", type=str, default=None,
                    help="override config weights; 'random:<seed>' for random init")
-    p.add_argument("--clip-weights", type=str, default="random:0",
-                   help="path to a CLIP ViT-B/32 checkpoint, or 'random:<seed>'")
+    p.add_argument("--clip-weights", type=str, default=None,
+                   help="path to a CLIP ViT-B/32 checkpoint (.pt or converted "
+                        ".npz), or 'random:<seed>'; default: "
+                        "./weights/clip/ViT-B-32.npz if present (the "
+                        "scripts/download_weights.sh location), else random:0")
     p.add_argument("--resume", action="store_true",
                    help="resume from <tmp-folder>/ga_state.npz")
     p.add_argument("--mesh", action="store_true",
@@ -91,6 +94,10 @@ def decode_latents_npz(config, X: np.ndarray):
 
 
 def main(argv=None) -> int:
+    import time
+    t0 = time.perf_counter()
+    phases = {}  # wallclock breakdown (printed when --verbose)
+
     args = build_parser().parse_args(argv)
 
     import jax
@@ -104,6 +111,8 @@ def main(argv=None) -> int:
     from clip_glass_tpu.fitness.problem import GenerationProblem
     from clip_glass_tpu.parallel import make_mesh, shard_state
     from clip_glass_tpu.utils.plotting import save_scatter
+
+    phases["imports"] = time.perf_counter() - t0
 
     config = get_config(args.config).replace(
         target=args.target, tmp_folder=args.tmp_folder, seed=args.seed,
@@ -120,15 +129,30 @@ def main(argv=None) -> int:
         config, clip_cfg, model_cfg = _tinyfy(config)
 
     os.makedirs(config.tmp_folder, exist_ok=True)
-    problem = GenerationProblem(config, clip_weights=args.clip_weights,
+    clip_weights = args.clip_weights
+    if clip_weights is None:
+        default_clip = "./weights/clip/ViT-B-32.npz"
+        clip_weights = (default_clip
+                        if os.path.exists(default_clip) and not args.tiny
+                        else "random:0")
+    problem = GenerationProblem(config, clip_weights=clip_weights,
                                 clip_cfg=clip_cfg, model_cfg=model_cfg)
     algorithm = problem.make_algorithm()
     ext = "jpg" if config.task == "txt2img" else "txt"
+
+    phases["setup"] = time.perf_counter() - t0 - sum(phases.values())
 
     mesh = make_mesh() if args.mesh else None
     gen_fn = jax.jit(lambda X, ctx: problem.generator.generate(X, ctx))
     from clip_glass_tpu.core.profiling import GenerationMeter, device_trace
     meter = GenerationMeter(config.pop_size)
+
+    # artifact dumps run on a single worker thread: the device->host image
+    # pull + JPEG encode (the expensive part of each periodic dump) overlaps
+    # the next chunk of search steps instead of stalling them
+    from concurrent.futures import ThreadPoolExecutor
+    saver = ThreadPoolExecutor(max_workers=1)
+    pending = []
 
     def save_callback(state):
         gen = int(state.gen)
@@ -138,9 +162,12 @@ def main(argv=None) -> int:
         generated = gen_fn(jax.numpy.asarray(X), problem.generator.bundle)
         name = (f"genetic-it-{gen}.{ext}" if gen < config.generations
                 else f"genetic-it-final.{ext}")
-        problem.generator.save(generated, os.path.join(config.tmp_folder, name))
+        pending.append(saver.submit(problem.generator.save, generated,
+                                    os.path.join(config.tmp_folder, name)))
         save_state(state, config.tmp_folder, config.name)
-        meter.set_generation(gen)
+        # the first chunk's wall time is dominated by XLA compilation:
+        # rebaseline there so reported rates are steady-state
+        meter.set_generation(gen, rebaseline=(meter._gens == 0 and gen > 0))
         if args.verbose and meter.gens_per_sec > 0:
             print(f"  rate: {meter.gens_per_sec:.2f} gen/s "
                   f"({meter.candidates_per_sec:.1f} candidates/s)")
@@ -159,6 +186,10 @@ def main(argv=None) -> int:
                        key=jax.random.PRNGKey(config.seed),
                        callback=save_callback, save_each=config.save_each,
                        verbose=args.verbose, state=state)
+    for fut in pending:  # surface any artifact-write error
+        fut.result()
+    saver.shutdown()
+    phases["search+dumps"] = time.perf_counter() - t0 - sum(phases.values())
 
     # ---- final artifacts (reference run.py:79-125)
     if config.n_obj == 2:
@@ -190,6 +221,11 @@ def main(argv=None) -> int:
     generated = problem.generator.generate(jax.numpy.asarray(X_best))
     problem.generator.save(generated,
                            os.path.join(config.tmp_folder, f"output.{ext}"))
+    phases["final_artifacts"] = time.perf_counter() - t0 - sum(phases.values())
+    if args.verbose:
+        total = time.perf_counter() - t0
+        parts = "  ".join(f"{k}={v:.1f}s" for k, v in phases.items())
+        print(f"wallclock: total={total:.1f}s  {parts}")
     return 0
 
 

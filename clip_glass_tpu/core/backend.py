@@ -22,11 +22,17 @@ def supports_host_callbacks() -> bool:
     return "axon" not in version.lower()
 
 
-def enable_compile_cache(cache_dir: str = "~/.cache/jax_bench_cache") -> None:
+def enable_compile_cache(cache_dir: str = "~/.cache/jax_bench_cache",
+                         min_compile_secs: float = 1.0) -> None:
     """Point JAX's persistent compilation cache at `cache_dir` so repeated
     runs skip the multi-minute full-size XLA compiles. Respects an explicit
     user configuration: a set JAX_COMPILATION_CACHE_DIR env var (or an
-    already-configured cache dir) wins."""
+    already-configured cache dir) wins.
+
+    Only compiles slower than `min_compile_secs` are persisted, so the
+    cache directory holds the expensive executables without growing
+    unboundedly from trivial sub-second compiles (which recompile faster
+    than they deserialize anyway)."""
     import os
 
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
@@ -35,4 +41,5 @@ def enable_compile_cache(cache_dir: str = "~/.cache/jax_bench_cache") -> None:
         return
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))

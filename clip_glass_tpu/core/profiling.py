@@ -88,17 +88,24 @@ class GenerationMeter:
     def update(self, n_gens: int = 1):
         self._gens += n_gens
 
-    def set_generation(self, gen: int):
-        """Pin the absolute generation counter (resumed searches / chunked
-        drivers that learn the count from the GA state). The FIRST call
-        re-baselines the clock: the first chunk's wall time is dominated by
-        XLA compilation, so steady-state rates are measured from the second
-        chunk on (a single-chunk run reports no rate rather than a
-        compile-polluted one)."""
-        if self._gens == 0 and gen > 0:
-            self._t0 = time.perf_counter()
-            self._base = int(gen)
+    def rebaseline(self, gen: int):
+        """Restart the clock at absolute generation `gen`: subsequent rates
+        measure only work done after this call. Use after any wall-clock
+        block that is not search work (XLA compilation, checkpoint load)."""
+        self._t0 = time.perf_counter()
+        self._base = int(gen)
         self._gens = int(gen)
+
+    def set_generation(self, gen: int, rebaseline: bool = False):
+        """Pin the absolute generation counter (resumed searches / chunked
+        drivers that learn the count from the GA state). Pass
+        rebaseline=True to also restart the clock (see rebaseline());
+        callers that cannot tell whether compile time polluted the elapsed
+        window should rebaseline on their first call."""
+        if rebaseline:
+            self.rebaseline(gen)
+        else:
+            self._gens = int(gen)
 
     @property
     def gens_per_sec(self) -> float:

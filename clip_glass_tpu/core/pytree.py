@@ -56,6 +56,18 @@ def load_npz(path: str, dtype=None) -> Dict[str, Any]:
     return unflatten(flat)
 
 
+def restore_lists(tree):
+    """Invert flatten's list->{'0': ...} encoding: any dict whose keys are
+    all decimal strings becomes a list ordered by index (recursively). Use
+    after load_npz on pytrees that contained lists (model block lists)."""
+    if isinstance(tree, dict):
+        out = {k: restore_lists(v) for k, v in tree.items()}
+        if out and all(k.isdigit() for k in out):
+            return [out[k] for k in sorted(out, key=int)]
+        return out
+    return tree
+
+
 def cast_floats(tree, dtype):
     """Cast floating leaves to dtype, leave ints/bools untouched."""
     def _cast(x):

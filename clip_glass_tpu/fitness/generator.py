@@ -88,7 +88,7 @@ class Generator:
             )(jax.random.PRNGKey(_random_seed(clip_weights)))
         else:
             from clip_glass_tpu.weights import convert_clip
-            self.clip_params, self.clip_cfg = convert_clip.load_torch_checkpoint(
+            self.clip_params, self.clip_cfg = convert_clip.load_checkpoint(
                 clip_weights)
 
         # ---- model family (model_cfg overrides the default architecture,
@@ -121,6 +121,7 @@ class Generator:
             self._load_model_abstract(config)
             return
         if fam == "stylegan2":
+            self.noise = None
             if _is_random(config.weights):
                 self.model_cfg = self._model_cfg_override or sg2.CONFIG_F
                 key = jax.random.PRNGKey(_random_seed(config.weights))
@@ -131,38 +132,37 @@ class Generator:
                     lambda k: sg2.discriminator_init(k, self.model_cfg))(kd)
                     if config.use_discriminator else None)
             else:
-                from clip_glass_tpu.weights import convert_stylegan2
-                gp = os.path.join(config.weights, "G.pth")
-                if not os.path.exists(gp):
-                    raise FileNotFoundError(
-                        f"StyleGAN2 weights not found at {gp}; convert the "
-                        "reference checkpoints (see weights/convert_stylegan2.py) "
-                        "or use weights='random:<seed>'")
-                self.g_params, self.model_cfg, _ = convert_stylegan2.load_pth(gp)
-                self.d_params = None
-                if config.use_discriminator:
-                    self.d_params, _, _ = convert_stylegan2.load_pth(
-                        os.path.join(config.weights, "D.pth"))
+                self._load_stylegan2_checkpoint(config)
             # fixed noise drawn once: deterministic fitness for the GA (the
             # reference redraws noise every call, see models/stylegan2 docstring)
-            self.noise = [jax.random.normal(k, s) for k, s in zip(
-                jax.random.split(jax.random.PRNGKey(7), len(self.model_cfg.noise_shapes())),
-                self.model_cfg.noise_shapes())]
+            if getattr(self, "noise", None) is None:
+                self.noise = [jax.random.normal(k, s) for k, s in zip(
+                    jax.random.split(jax.random.PRNGKey(7),
+                                     len(self.model_cfg.noise_shapes())),
+                    self.model_cfg.noise_shapes())]
         elif fam == "biggan":
             if _is_random(config.weights):
                 self.model_cfg = self._model_cfg_override or bg.CONFIGS.get(
                     f"biggan-deep-{config.resolution}", bg.BIGGAN_DEEP_256)
                 self.g_params = jax.jit(lambda k: bg.init(k, self.model_cfg))(
                     jax.random.PRNGKey(_random_seed(config.weights)))
-            else:
-                from clip_glass_tpu.weights import convert_biggan
-                if os.path.exists(config.weights):
-                    self.g_params, self.model_cfg = convert_biggan.load_torch_checkpoint(
-                        config.weights, f"biggan-deep-{config.resolution}")
+            elif os.path.exists(config.weights):
+                if config.weights.endswith(".npz"):
+                    from clip_glass_tpu.core import pytree
+                    self.g_params = pytree.restore_lists(
+                        pytree.load_npz(config.weights))
+                    self.model_cfg = bg.CONFIGS[
+                        f"biggan-deep-{config.resolution}"]
                 else:
-                    raise FileNotFoundError(
-                        f"BigGAN weights not found at {config.weights!r}; "
-                        "provide the pytorch_model.bin path or weights='random:<seed>'")
+                    from clip_glass_tpu.weights import convert_biggan
+                    self.g_params, self.model_cfg = \
+                        convert_biggan.load_torch_checkpoint(
+                            config.weights, f"biggan-deep-{config.resolution}")
+            else:
+                raise FileNotFoundError(
+                    f"BigGAN weights not found at {config.weights!r}; "
+                    "provide the pytorch_model.bin/.npz path or "
+                    "weights='random:<seed>'")
             self.d_params = None
         elif fam == "gpt2":
             if _is_random(config.weights):
@@ -170,18 +170,82 @@ class Generator:
                 self.g_params = jax.jit(lambda k: g2.init(k, self.model_cfg))(
                     jax.random.PRNGKey(_random_seed(config.weights)))
             else:
-                from clip_glass_tpu.weights import convert_gpt2
                 if not os.path.exists(config.weights):
                     raise FileNotFoundError(
                         f"GPT-2 weights not found at {config.weights!r}")
-                self.g_params, self.model_cfg = convert_gpt2.load_torch_checkpoint(
-                    config.weights)
+                if config.weights.endswith(".npz"):
+                    from clip_glass_tpu.core import pytree
+                    self.g_params = pytree.load_npz(config.weights)
+                    p = self.g_params
+                    vocab, d = p["wte"].shape
+                    self.model_cfg = g2.GPT2Config(
+                        vocab_size=vocab, n_positions=p["wpe"].shape[0],
+                        n_embd=d,
+                        n_layer=p["blocks"]["ln_1"]["g"].shape[0],
+                        n_head=12 if d == 768 else max(2, d // 64))
+                else:
+                    from clip_glass_tpu.weights import convert_gpt2
+                    self.g_params, self.model_cfg = \
+                        convert_gpt2.load_torch_checkpoint(config.weights)
             self.d_params = None
             enc = get_gpt2_tokenizer()
             self.init_tokens = np.asarray(enc.encode(self.config.init_text),
                                           np.int32)
         else:
             raise ValueError(f"unknown model family {fam!r}")
+
+    def _load_stylegan2_checkpoint(self, config):
+        """Load converted StyleGAN2 weights from `config.weights` (a dir).
+
+        Two on-disk formats are accepted:
+        - `G.pth`/`D.pth` in the reference's `{name,kwargs,state_dict}`
+          torch format (reference stylegan2/models.py:160-209), converted
+          on the fly; or
+        - `G.npz`/`D.npz` pytrees + `*_cfg.json` sidecars as produced by
+          `scripts/convert_weights.py` (including from the NVIDIA TF
+          pickles via `scripts/download_weights.sh`), with optional static
+          `G_noise.npz` tensors (reference convert_from_tf.py:229-230).
+        """
+        gp = os.path.join(config.weights, "G.pth")
+        gnpz = os.path.join(config.weights, "G.npz")
+        if os.path.exists(gp):
+            from clip_glass_tpu.weights import convert_stylegan2
+            self.g_params, self.model_cfg, _ = convert_stylegan2.load_pth(gp)
+            self.d_params = None
+            if config.use_discriminator:
+                self.d_params, _, _ = convert_stylegan2.load_pth(
+                    os.path.join(config.weights, "D.pth"))
+        elif os.path.exists(gnpz):
+            import dataclasses
+            import json
+
+            from clip_glass_tpu.core import pytree
+
+            def read_cfg(stem):
+                with open(os.path.join(config.weights,
+                                       f"{stem}_cfg.json")) as f:
+                    d = json.load(f)
+                known = {f.name for f in dataclasses.fields(sg2.SG2Config)}
+                return sg2.SG2Config(
+                    **{k: tuple(v) if isinstance(v, list) else v
+                       for k, v in d.items() if k in known})
+
+            self.g_params = pytree.restore_lists(pytree.load_npz(gnpz))
+            self.model_cfg = read_cfg("G")
+            self.d_params = None
+            if config.use_discriminator:
+                self.d_params = pytree.restore_lists(pytree.load_npz(
+                    os.path.join(config.weights, "D.npz")))
+            npath = os.path.join(config.weights, "G_noise.npz")
+            if os.path.exists(npath):
+                with np.load(npath) as data:
+                    self.noise = [jnp.asarray(data[k]) for k in
+                                  sorted(data.files, key=int)]
+        else:
+            raise FileNotFoundError(
+                f"StyleGAN2 weights not found at {gp} (or G.npz); convert "
+                "the reference checkpoints (scripts/convert_weights.py, "
+                "scripts/download_weights.sh) or use weights='random:<seed>'")
 
     def _load_model_abstract(self, config):
         """Shapes-only model init (see _is_abstract)."""
@@ -387,8 +451,8 @@ class Generator:
         if n_chunks <= 1:
             ids = self._host_gen_jit(X, bundle, key)
             toks, ok = self._texts_to_clip_tokens(np.asarray(ids))
-            return self._host_score_jit(jnp.asarray(toks), jnp.asarray(ok),
-                                        bundle)
+            toks, ok = self._place_like(X, toks, ok)
+            return self._host_score_jit(toks, ok, bundle)
 
         keys = jax.random.split(key, n_chunks)
         # enqueue every decode chunk first (device queue runs them back to
@@ -403,8 +467,24 @@ class Generator:
             # the reference zeroes the WHOLE population when any caption
             # overflows the CLIP context (reference generator.py:53-56)
             ok = np.zeros_like(ok)
-        return self._host_score_jit(jnp.asarray(np.concatenate(toks)),
-                                    jnp.asarray(ok), bundle)
+        toks, ok = self._place_like(X, np.concatenate(toks), ok)
+        return self._host_score_jit(toks, ok, bundle)
+
+    @staticmethod
+    def _place_like(X, toks, ok):
+        """Re-enter the device with the population sharding of `X`: when the
+        GA state is sharded over a (pop,) mesh, the CLIP text-scoring stage
+        after the host BPE round trip partitions along pop like the decode
+        did, instead of landing on one device (VERDICT r2 #8)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        toks, ok = jnp.asarray(toks), jnp.asarray(ok)
+        sh = getattr(X, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.spec and sh.spec[0]:
+            pop_sh = NamedSharding(sh.mesh, PartitionSpec(sh.spec[0]))
+            toks = jax.device_put(toks, pop_sh)
+            ok = jax.device_put(ok, pop_sh)
+        return toks, ok
 
     @property
     def _s2d_active(self) -> bool:

@@ -34,10 +34,14 @@ class GenerationProblem:
         gen = self.generator
         return lambda X, ctx, key=None: gen.eval_population(X, ctx, key)
 
-    def make_algorithm(self):
+    def make_algorithm(self, force_host_eval: bool = False):
+        """force_host_eval=True builds the host-staged img2txt evaluation
+        even where pure_callback is available (tests exercising the TPU
+        production path on the CPU backend)."""
         from clip_glass_tpu.evolve.algorithm import make_algorithm
         gen = self.generator
-        if gen.needs_host_eval:
+        if gen.needs_host_eval or (force_host_eval
+                                   and self.config.task == "img2txt"):
             return make_algorithm(
                 self.config,
                 lambda X, ctx, key=None: gen.host_eval_population(X, ctx, key),

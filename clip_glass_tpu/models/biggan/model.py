@@ -361,8 +361,9 @@ def apply(params, z, class_vector, truncation: float = 1.0,
     # NCHW straight from the conv avoids materializing a lane-padded
     # [B,H,W,3] tensor and the final transpose.
     w = policy.cast_compute(params["conv_to_rgb"]["w"][:, :, :, :3])
+    pad = (w.shape[0] - 1) // 2  # same derivation as _conv_apply
     h = jax.lax.conv_general_dilated(
-        h, w, (1, 1), ((1, 1), (1, 1)),
+        h, w, (1, 1), ((pad, pad), (pad, pad)),
         dimension_numbers=jax.lax.conv_dimension_numbers(
             h.shape, w.shape, ("NHWC", "HWIO", "NCHW")))
     h = h + policy.cast_compute(params["conv_to_rgb"]["b"][:3])[:, None, None]

@@ -84,5 +84,5 @@ def load(name_or_path: str = "random:0", policy: Optional[Policy] = None,
             jax.random.PRNGKey(seed))
         return LoadedCLIP(params, cfg, policy)
     from clip_glass_tpu.weights import convert_clip
-    params, cfg = convert_clip.load_torch_checkpoint(name_or_path)
+    params, cfg = convert_clip.load_checkpoint(name_or_path)
     return LoadedCLIP(params, cfg, policy)

@@ -105,6 +105,31 @@ def convert(sd: Dict[str, np.ndarray], cfg: CLIPConfig = None):
     return params, cfg
 
 
+def load_npz_checkpoint(path: str):
+    """Load an already-converted CLIP npz pytree (+ `<stem>_cfg.json`
+    sidecar written by scripts/convert_weights.py). Torch-free load path."""
+    import dataclasses
+    import json
+    import os
+
+    from clip_glass_tpu.core import pytree
+    from clip_glass_tpu.models.clip.model import CLIPConfig
+
+    params = pytree.load_npz(path)
+    with open(os.path.splitext(path)[0] + "_cfg.json") as f:
+        d = json.load(f)
+    known = {f.name for f in dataclasses.fields(CLIPConfig)}
+    return params, CLIPConfig(**{k: v for k, v in d.items() if k in known})
+
+
+def load_checkpoint(path: str):
+    """Dispatch on extension: .npz pytrees load torch-free, anything else
+    goes through the torch converter."""
+    if path.endswith(".npz"):
+        return load_npz_checkpoint(path)
+    return load_torch_checkpoint(path)
+
+
 def load_torch_checkpoint(path: str):
     """Load an OpenAI CLIP checkpoint (TorchScript archive or plain state
     dict, reference clip/clip.py:60-78) and convert."""

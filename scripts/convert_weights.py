@@ -18,10 +18,19 @@ pytorch_pretrained_biggan pipeline fetches from).
 """
 
 import argparse
+import dataclasses
+import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _save_cfg(path: str, cfg) -> None:
+    """Sidecar config json so converted npz pytrees reload without shape
+    inference (fitness/generator.py reads `<net>_cfg.json`)."""
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1)
 
 # Checkpoint acquisition table — where a user WITH egress obtains each
 # checkpoint this CLI converts (reference download-weights.sh:16-37,
@@ -74,6 +83,7 @@ def main() -> int:
         from clip_glass_tpu.weights import convert_clip
         params, cfg = convert_clip.load_torch_checkpoint(args.src)
         pytree.save_npz(args.dst, params)
+        _save_cfg(os.path.splitext(args.dst)[0] + "_cfg.json", cfg)
         print(f"CLIP {cfg} -> {args.dst}")
     elif args.kind == "gpt2":
         from clip_glass_tpu.weights import convert_gpt2
@@ -94,8 +104,10 @@ def main() -> int:
             if not os.path.exists(path):
                 continue
             params, cfg, kind = convert_stylegan2.load_pth(path)
-            out = os.path.join(args.dst, name.replace(".pth", ".npz"))
+            stem = name.replace(".pth", "")
+            out = os.path.join(args.dst, stem + ".npz")
             pytree.save_npz(out, params)
+            _save_cfg(os.path.join(args.dst, stem + "_cfg.json"), cfg)
             print(f"{name} ({kind}, {cfg.resolution}px) -> {out}")
     elif args.kind == "stylegan2-tf":
         from clip_glass_tpu.weights import convert_stylegan2_tf
@@ -107,10 +119,12 @@ def main() -> int:
                 pytree.save_npz(os.path.join(args.dst, f"{key}.npz"), params)
                 pytree.save_npz(os.path.join(args.dst, f"{key}_noise.npz"),
                                 {str(i): n for i, n in enumerate(noises)})
+                _save_cfg(os.path.join(args.dst, f"{key}_cfg.json"), cfg)
                 print(f"{key} ({cfg.resolution}px) -> {args.dst}")
             else:
                 params, cfg = val
                 pytree.save_npz(os.path.join(args.dst, "D.npz"), params)
+                _save_cfg(os.path.join(args.dst, "D_cfg.json"), cfg)
                 print(f"D ({cfg.resolution}px) -> {args.dst}")
     return 0
 

@@ -1,0 +1,145 @@
+#!/bin/sh
+# Checkpoint fetcher — the runnable counterpart of the reference's
+# download-weights.sh (reference download-weights.sh:1-41), extended to every
+# checkpoint the full pipeline consumes (CLIP ViT-B/32 + RN50 per
+# clip/clip.py:18-21, GPT-2 124M per download-weights.sh:37, the NVIDIA
+# StyleGAN2 config-f pickles per stylegan2/convert_from_tf.py:12-38, and the
+# HF BigGAN-deep checkpoints).
+#
+# Each model: curl -> sha256 verify (when the hash is pinned; the CLIP URLs
+# embed their own sha256, which is also re-verified at load time by
+# models/clip/api.py) -> convert to this framework's npz pytrees via
+# scripts/convert_weights.py.
+#
+# Usage:
+#   ./scripts/download_weights.sh <model> [weights_dir]
+#   <model>: CLIP-ViT-B-32 | CLIP-RN50 | GPT2 | StyleGAN2-ffhq |
+#            StyleGAN2-car | StyleGAN2-church | BigGAN-256 | BigGAN-512 | all
+#   weights_dir defaults to ./weights
+#
+# After fetching, run the end-to-end validation harness:
+#   python scripts/validate_pretrained.py --weights-dir ./weights
+
+set -u
+
+REPO_DIR=$(CDPATH= cd -- "$(dirname -- "$0")/.." && pwd)
+WEIGHTS_DIR=${2:-"$REPO_DIR/weights"}
+PY=${PYTHON:-python}
+
+die() {
+    echo "$1" >&2
+    exit 1
+}
+
+usage() {
+    echo "./scripts/download_weights.sh <model> [weights_dir]"
+    echo "Possible <model> are: CLIP-ViT-B-32, CLIP-RN50, GPT2,"
+    echo "  StyleGAN2-ffhq, StyleGAN2-car, StyleGAN2-church,"
+    echo "  BigGAN-256, BigGAN-512, all"
+    echo "Example:"
+    echo "./scripts/download_weights.sh StyleGAN2-ffhq"
+    exit 1
+}
+
+# fetch <url> <dest> [sha256]
+fetch() {
+    url="$1"; dest="$2"; want="${3:-}"
+    if [ -f "$dest" ]; then
+        echo "already downloaded: $dest"
+    else
+        mkdir -p "$(dirname "$dest")"
+        echo "fetching $url"
+        curl -L --fail --retry 3 --output "$dest.part" "$url" \
+            || die "download failed: $url"
+        mv "$dest.part" "$dest"
+    fi
+    if [ -n "$want" ]; then
+        got=$(sha256sum "$dest" | cut -d' ' -f1)
+        [ "$got" = "$want" ] || die "sha256 mismatch for $dest
+  expected $want
+  got      $got"
+        echo "sha256 OK: $dest"
+    else
+        # no published hash for this artifact (the reference fetches it
+        # unverified too); record what we got for reproducibility
+        echo "sha256 (unpinned, recorded): $(sha256sum "$dest" | cut -d' ' -f1)"
+    fi
+}
+
+# The CLIP URLs embed the artifact's own sha256 as a path component
+# (reference clip/clip.py:18-21); models/clip/api.py re-verifies on load.
+CLIP_VIT_SHA=40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af
+CLIP_RN50_SHA=afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762
+
+clip_vit() {
+    dest="$WEIGHTS_DIR/clip/ViT-B-32.pt"
+    fetch "https://openaipublic.azureedge.net/clip/models/$CLIP_VIT_SHA/ViT-B-32.pt" \
+        "$dest" "$CLIP_VIT_SHA"
+    $PY "$REPO_DIR/scripts/convert_weights.py" clip "$dest" \
+        "$WEIGHTS_DIR/clip/ViT-B-32.npz"
+}
+
+clip_rn50() {
+    dest="$WEIGHTS_DIR/clip/RN50.pt"
+    fetch "https://openaipublic.azureedge.net/clip/models/$CLIP_RN50_SHA/RN50.pt" \
+        "$dest" "$CLIP_RN50_SHA"
+    $PY "$REPO_DIR/scripts/convert_weights.py" clip "$dest" \
+        "$WEIGHTS_DIR/clip/RN50.npz"
+}
+
+gpt2() {
+    # reference download-weights.sh:37
+    dest="$WEIGHTS_DIR/gpt2/gpt2-pytorch_model.bin"
+    fetch "https://s3.amazonaws.com/models.huggingface.co/bert/gpt2-pytorch_model.bin" \
+        "$dest"
+    $PY "$REPO_DIR/scripts/convert_weights.py" gpt2 "$dest" \
+        "$WEIGHTS_DIR/gpt2/gpt2.npz"
+}
+
+# download_stylegan2 <config>  (reference convert_from_tf.py:12-38 URL table)
+download_stylegan2() {
+    config="$1"
+    dest="$WEIGHTS_DIR/stylegan2/$config/stylegan2-$config.pkl"
+    fetch "http://d36zk2xti64re0.cloudfront.net/stylegan2/networks/stylegan2-$config.pkl" \
+        "$dest"
+    $PY "$REPO_DIR/scripts/convert_weights.py" stylegan2-tf "$dest" \
+        "$WEIGHTS_DIR/stylegan2/$config"
+}
+
+# download_biggan <model-name>  (HF hub layout, pytorch_pretrained_biggan)
+download_biggan() {
+    name="$1"
+    dest="$WEIGHTS_DIR/biggan/$name-pytorch_model.bin"
+    fetch "https://s3.amazonaws.com/models.huggingface.co/biggan/$name-pytorch_model.bin" \
+        "$dest"
+    $PY "$REPO_DIR/scripts/convert_weights.py" biggan "$dest" \
+        "$WEIGHTS_DIR/biggan/$name.npz" --model-name "$name"
+}
+
+[ "$#" -ge 1 ] || usage
+
+run_one() {
+    case "$1" in
+        CLIP-ViT-B-32) clip_vit ;;
+        CLIP-RN50) clip_rn50 ;;
+        GPT2) gpt2 ;;
+        StyleGAN2-ffhq) download_stylegan2 "ffhq-config-f" ;;
+        StyleGAN2-car) download_stylegan2 "car-config-f" ;;
+        StyleGAN2-church) download_stylegan2 "church-config-f" ;;
+        BigGAN-256) download_biggan "biggan-deep-256" ;;
+        BigGAN-512) download_biggan "biggan-deep-512" ;;
+        *) echo "Unknown model '$1'"; usage ;;
+    esac
+}
+
+if [ "$1" = "all" ]; then
+    for m in CLIP-ViT-B-32 CLIP-RN50 GPT2 StyleGAN2-ffhq StyleGAN2-car \
+             StyleGAN2-church BigGAN-256 BigGAN-512; do
+        run_one "$m"
+    done
+else
+    run_one "$1"
+fi
+
+echo "done. validate with:"
+echo "  python scripts/validate_pretrained.py --weights-dir $WEIGHTS_DIR"

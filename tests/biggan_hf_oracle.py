@@ -228,6 +228,17 @@ class BigGAN(nn.Module):
         return self.generator(cond_vector, truncation)
 
 
+def build_oracle(state_dict, cfg):
+    """Build the oracle from a REAL `pytorch_pretrained_biggan` checkpoint
+    state dict (the module tree reproduces the package's names exactly, so
+    `load_state_dict` is a strict 1:1 load). Used by
+    scripts/validate_pretrained.py for true-checkpoint parity."""
+    model = BigGAN(cfg)
+    model.load_state_dict(state_dict)
+    model.eval()
+    return model
+
+
 def make_random_oracle(cfg, seed=0, power_iterations=3):
     """Build the oracle with randomized parameters AND running stats, settle
     the spectral-norm u/v vectors with a few train-mode power iterations, and

@@ -151,6 +151,116 @@ def test_real_config_shapes():
     assert 4 * 2 ** sum(1 for up, _, _ in cfg512.layers if up) == 512
 
 
+def analytic_param_count(cfg) -> int:
+    """INDEPENDENT first-principles parameter accounting of BigGAN-deep,
+    derived from the paper's architecture description (arXiv:1809.11096
+    §B.2: bottleneck residual blocks with channel reduction 4, four
+    conditional BatchNorms per block each conditioned on the 256-d
+    concat(z, shared 128-d class embedding), a single self-attention block,
+    and precomputed BN statistics for a grid of truncation values) — NOT
+    read from the HF package source. Counts every tensor of the CONVERTED
+    tree (spectral norm folded to one w per layer; running stats kept for
+    n_stats truncation grid points). Agreement with the transcribed-oracle
+    and converter accounting means a misreading of the HF source would have
+    to coincide with an identical misreading of the paper."""
+    ch, z, ns = cfg.channel_width, cfg.z_dim, cfg.n_stats
+    cond = 2 * z                                   # concat(z, class embed)
+    total = cfg.num_classes * z                    # shared class embedding
+    first = cfg.layers[0][1] * ch
+    total += cond * (16 * first) + 16 * first      # gen_z: cond -> 4*4*first
+    for up, im, om in cfg.layers:
+        i, o, m = im * ch, om * ch, im * ch // 4   # bottleneck: mid = in/4
+        for c in (i, m, m, m):                     # 4 cond BNs per block
+            total += 2 * cond * c                  # scale+offset (no bias)
+            total += 2 * ns * c                    # running means+vars
+        total += 1 * 1 * i * m + m                 # conv_0 (1x1 in->mid)
+        total += 2 * (3 * 3 * m * m + m)           # conv_1, conv_2 (3x3)
+        total += 1 * 1 * m * o + o                 # conv_3 (1x1 mid->out)
+    att = cfg.layers[cfg.attention_layer_position][1] * ch
+    total += 2 * att * (att // 8)                  # theta, phi (1x1, no bias)
+    total += 2 * att * (att // 2)                  # g, o_conv (1x1, no bias)
+    total += 1                                     # gamma
+    last = cfg.layers[-1][2] * ch
+    total += 2 * last + 2 * ns * last              # final plain BN w,b,stats
+    total += 3 * 3 * last * last + last            # conv_to_rgb (full C kept)
+    return total
+
+
+def _sn_aux_count(cfg) -> int:
+    """Spectral-norm auxiliary tensors (weight_u + weight_v per sn module)
+    present in the HF checkpoint but folded away by the converter."""
+    ch, z = cfg.channel_width, cfg.z_dim
+    cond = 2 * z
+    first = cfg.layers[0][1] * ch
+    aux = 16 * first + cond                        # gen_z: u=out, v=in
+    for up, im, om in cfg.layers:
+        i, o, m = im * ch, om * ch, im * ch // 4
+        for c in (i, m, m, m):
+            aux += 2 * (c + cond)                  # scale+offset linears
+        aux += (m + i) + 2 * (m + 9 * m) + (o + m)  # conv u=out, v=in*k*k
+    att = cfg.layers[cfg.attention_layer_position][1] * ch
+    aux += 2 * (att // 8 + att) + (att // 2 + att) + (att + att // 2)
+    last = cfg.layers[-1][2] * ch
+    aux += last + 9 * last                         # conv_to_rgb
+    return aux
+
+
+@pytest.mark.parametrize("name,res", [("biggan-deep-128", 128),
+                                      ("biggan-deep-256", 256),
+                                      ("biggan-deep-512", 512)])
+def test_architecture_invariants_and_param_accounting(name, res):
+    """Hardening against transcription error (VERDICT r2 #7): architecture
+    invariants stated by the paper, plus exact agreement between the
+    independent analytic parameter count and the model's parameter tree."""
+    cfg = bg.CONFIGS[name]
+    # 4px seed doubled once per up-block reaches the advertised resolution
+    ups = sum(1 for up, _, _ in cfg.layers if up)
+    assert 4 * 2 ** ups == cfg.output_dim == res
+    # the single attention block sits at the 64x64 level (paper §B.2 "we use
+    # attention at a single scale, 64x64" for the deep models)
+    ups_before = sum(
+        1 for up, _, _ in cfg.layers[:cfg.attention_layer_position] if up)
+    assert 4 * 2 ** ups_before == 64
+    # channel schedule endpoints: 16ch seed width, 1ch at the RGB head
+    assert cfg.layers[0][1] == 16 and cfg.layers[-1][2] == 1
+    # non-up blocks keep channels; up blocks never grow them
+    for up, im, om in cfg.layers:
+        assert om <= im
+    # exact param accounting (shapes only — nothing materialized)
+    shapes = jax.eval_shape(lambda k: bg.init(k, cfg), jax.random.PRNGKey(0))
+    got = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert got == analytic_param_count(cfg)
+
+
+@pytest.mark.parametrize("cfg", [bg.TINY, ORACLE_MID])
+def test_oracle_and_converter_match_analytic_accounting(cfg):
+    """Ties the TORCH transcription and the CONVERTER to the same
+    independent formula: oracle state_dict elements == analytic + sn aux;
+    converted tree elements == analytic (sn folded, nothing else lost)."""
+    tm = oracle.make_random_oracle(cfg, seed=0)
+    sd = {k: v for k, v in tm.state_dict().items()}
+    sd_count = sum(int(v.numel()) for v in sd.values())
+    assert sd_count == analytic_param_count(cfg) + _sn_aux_count(cfg)
+    params = convert_biggan.convert(
+        {k: v.numpy() for k, v in sd.items()}, cfg)
+    got = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(params))
+    assert got == analytic_param_count(cfg)
+
+
+def test_build_oracle_real_checkpoint_layout():
+    """build_oracle (the validate_pretrained.py entry) strict-loads a
+    checkpoint-layout state dict and reproduces the source model."""
+    tm = oracle.make_random_oracle(bg.TINY, seed=4)
+    sd = tm.state_dict()
+    m2 = oracle.build_oracle(sd, bg.TINY)
+    z = torch.randn(2, bg.TINY.z_dim)
+    cl = torch.softmax(torch.randn(2, bg.TINY.num_classes), dim=1)
+    with torch.no_grad():
+        a = tm(z, cl, 1.0).numpy()
+        b = m2(z, cl, 1.0).numpy()
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
 def test_truncated_noise_sample_bounds():
     x = bg.truncated_noise_sample(jax.random.PRNGKey(0), 100, 128, 0.5)
     xa = np.asarray(x)

@@ -91,3 +91,38 @@ def test_convert_weights_cli(pth_dir, tmp_path):
     from clip_glass_tpu.core import pytree
     loaded = pytree.load_npz(str(out / "G.npz"))
     assert "mapping" in loaded and "synthesis" in loaded
+    # cfg sidecars written for torch-free npz reload
+    assert (out / "G_cfg.json").exists() and (out / "D_cfg.json").exists()
+
+
+def test_generator_loads_converted_npz_dir(pth_dir, tmp_path):
+    """The fitness generator accepts a directory of converted npz pytrees +
+    cfg sidecars (what scripts/download_weights.sh produces) and yields the
+    same fitness as loading the reference .pth directly."""
+    d, _, _ = pth_dir
+    out = tmp_path / "converted"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "scripts/convert_weights.py", "stylegan2",
+         str(d), str(out)],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-500:]
+
+    from clip_glass_tpu.config import get_config
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+    from clip_glass_tpu.models.clip import model as clip_model
+
+    base = get_config("StyleGAN2_ffhq_d").replace(
+        target="a face", pop_size=4, dim_z=32, n_var=32)
+    X = jnp.asarray(np.random.default_rng(3).normal(size=(4, 32)), jnp.float32)
+
+    F = {}
+    for label, weights in (("pth", str(d)), ("npz", str(out))):
+        problem = GenerationProblem(base.replace(weights=weights),
+                                    clip_cfg=clip_model.TINY)
+        assert problem.generator.model_cfg.channels == tuple(CH), label
+        F[label] = np.asarray(problem.generator.eval_population(
+            X, problem.generator.bundle))
+    assert np.isfinite(F["pth"]).all()
+    np.testing.assert_allclose(F["npz"], F["pth"], rtol=1e-5, atol=1e-5)

@@ -104,6 +104,31 @@ def test_cosine_similarity_parity(oracle):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
 
 
+def test_npz_roundtrip_with_cfg_sidecar(oracle, tmp_path):
+    """Converted CLIP params round-trip through the npz + cfg.json sidecar
+    format (scripts/convert_weights.py) and reload torch-free via
+    convert_clip.load_npz_checkpoint."""
+    import dataclasses
+    import json
+
+    from clip_glass_tpu.core import pytree
+
+    _, params, cfg = oracle
+    path = str(tmp_path / "clip.npz")
+    pytree.save_npz(path, params)
+    with open(str(tmp_path / "clip_cfg.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f)
+
+    params2, cfg2 = convert_clip.load_npz_checkpoint(path)
+    assert cfg2 == cfg
+    toks = np.zeros((1, cfg.context_length), np.int32)
+    toks[0, 0], toks[0, 1] = 1, 2
+    a = jclip.encode_text(params, jnp.asarray(toks), cfg, FP32)
+    b = jclip.encode_text(params2, jnp.asarray(toks), cfg2, FP32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_bf16_policy_cosine_close_to_fp32(oracle):
     """bf16 compute must not meaningfully move the fitness signal
     (SURVEY.md hard part #5)."""

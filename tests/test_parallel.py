@@ -52,6 +52,126 @@ def test_clip_tensor_parallel_transparent(clip_setup):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
+def _tiny_sg2_problem(use_d: bool):
+    from clip_glass_tpu.config import get_config
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+    from clip_glass_tpu.models.stylegan2 import model as sg2
+    name = "StyleGAN2_ffhq_d" if use_d else "StyleGAN2_ffhq_nod"
+    cfg = get_config(name).replace(
+        pop_size=8, batch_size=4, dim_z=32, n_var=32, weights="random:0",
+        target="a red flower", compute_dtype="float32")
+    return GenerationProblem(cfg, clip_cfg=jclip.TINY, model_cfg=sg2.TINY)
+
+
+def _run_steps(step, state, ctx, n=2):
+    for _ in range(n):
+        state = step(state, ctx)
+    return np.asarray(state.X), np.asarray(state.F)
+
+
+@pytest.mark.parametrize("use_d", [False, True])
+def test_full_ga_step_sharded_equals_single_device(use_d):
+    """The reference's implicit contract — one device, one answer — asserted
+    for the FULL sharded generation step: (X, F) after two GA / NSGA-II
+    steps (selection, SBX/PM variation, dedup, fitness, survival) match the
+    single-device trajectory, not just shapes/finiteness."""
+    from clip_glass_tpu.parallel.mesh import shard_state
+
+    prob = _tiny_sg2_problem(use_d)
+    algo = prob.make_algorithm()
+    state0 = algo.init(jax.random.PRNGKey(7))
+    want_X, want_F = _run_steps(jax.jit(algo.step_fn()), state0, algo.ctx)
+
+    mesh = make_mesh()
+    ctx = jax.device_put(algo.ctx, replicated_sharding(mesh))
+    got_X, got_F = _run_steps(jax.jit(algo.step_fn()),
+                              shard_state(state0, mesh), ctx)
+    np.testing.assert_allclose(got_X, want_X, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got_F, want_F, rtol=1e-5, atol=1e-6)
+
+
+def test_full_ga_step_2d_mesh_clip_tp_equals_single_device():
+    """Same equivalence on the production 2-D (pop, model) mesh with the
+    CLIP scoring tower tensor-parallel (the dryrun_multichip layout)."""
+    from clip_glass_tpu.parallel.mesh import clip_tp_spec, shard_state
+
+    prob = _tiny_sg2_problem(True)
+    algo = prob.make_algorithm()
+    state0 = algo.init(jax.random.PRNGKey(9))
+    want_X, want_F = _run_steps(jax.jit(algo.step_fn()), state0, algo.ctx)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("pop", "model"))
+    rep = NamedSharding(mesh, P())
+    ctx = {k: jax.device_put(v, rep)
+           for k, v in algo.ctx.items() if k != "clip"}
+    ctx["clip"] = jax.tree.map(jax.device_put, algo.ctx["clip"],
+                               clip_tp_spec(algo.ctx["clip"], mesh))
+    state_sh = shard_state(state0, mesh)
+    got_X, got_F = _run_steps(jax.jit(algo.step_fn()), state_sh, ctx)
+    np.testing.assert_allclose(got_X, want_X, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got_F, want_F, rtol=1e-5, atol=1e-6)
+
+
+def test_biggan_mixed_genome_sharded_equals_single_device():
+    """Sharded-vs-single-device (X, F) equality for the BigGAN mixed-genome
+    family (real + bool genes through the masked mixed-variable operators)."""
+    import os
+
+    from clip_glass_tpu.config import get_config
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+    from clip_glass_tpu.models.biggan import model as bg
+    from clip_glass_tpu.parallel.mesh import shard_state
+
+    cfg = get_config("DeepMindBigGAN256").replace(
+        pop_size=8, batch_size=8, dim_z=16, num_classes=10, n_var=16 + 10,
+        weights="random:0", target="a red flower", compute_dtype="float32",
+        resolution=8)
+    prob = GenerationProblem(cfg, clip_cfg=jclip.TINY, model_cfg=bg.TINY)
+    algo = prob.make_algorithm()
+    state0 = algo.init(jax.random.PRNGKey(2))
+    want_X, want_F = _run_steps(jax.jit(algo.step_fn()), state0, algo.ctx)
+
+    mesh = make_mesh()
+    ctx = jax.device_put(algo.ctx, replicated_sharding(mesh))
+    got_X, got_F = _run_steps(jax.jit(algo.step_fn()),
+                              shard_state(state0, mesh), ctx)
+    np.testing.assert_allclose(got_X, want_X, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got_F, want_F, rtol=1e-5, atol=1e-6)
+
+
+def test_gpt2_img2txt_host_staged_sharded_equals_single_device():
+    """The TPU-production img2txt path — host BPE round trip between two
+    jitted programs — under a sharded population: decode partitions along
+    pop, host tokenization handles the sharded ids, the CLIP text scoring
+    re-enters the mesh with the population sharding, and the results equal
+    the single-device trajectory (VERDICT r2 #8)."""
+    import os
+
+    from clip_glass_tpu.config import get_config
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+    from clip_glass_tpu.models.gpt2 import model as g2
+    from clip_glass_tpu.parallel.mesh import shard_state
+
+    dog = os.path.join(os.path.dirname(__file__), "..", "examples",
+                       "gpt2_images", "dog.jpeg")
+    cfg = get_config("GPT2").replace(
+        pop_size=8, batch_size=8, dim_z=6, n_var=6, max_tokens_len=5,
+        weights="random:0", target=dog, compute_dtype="float32")
+    prob = GenerationProblem(cfg, clip_cfg=jclip.TINY, model_cfg=g2.TINY)
+    algo = prob.make_algorithm(force_host_eval=True)
+    assert algo.host_eval
+    state0 = algo.init(jax.random.PRNGKey(3))
+    # host-staged step: the jitted halves are built by step_fn internally
+    want_X, want_F = _run_steps(algo.step_fn(), state0, algo.ctx)
+
+    mesh = make_mesh()
+    ctx = jax.device_put(algo.ctx, replicated_sharding(mesh))
+    sh0 = shard_state(state0, mesh)
+    got_X, got_F = _run_steps(algo.step_fn(), sh0, ctx)
+    np.testing.assert_allclose(got_X, want_X, rtol=0, atol=0)  # int genomes
+    np.testing.assert_allclose(got_F, want_F, rtol=1e-5, atol=1e-6)
+
+
 def test_text_tower_tp_transparent(clip_setup):
     params, _, _ = clip_setup
     ids = np.zeros((4, 77), np.int64)

@@ -43,6 +43,20 @@ def test_generation_meter():
     assert c == pytest.approx(g * 16, rel=0.2)
 
 
+def test_generation_meter_rebaseline():
+    m = GenerationMeter(pop_size=16)
+    # plain set_generation pins the counter without touching the clock
+    m.set_generation(50)
+    time.sleep(0.01)
+    assert m.gens_per_sec > 0
+    # explicit rebaseline restarts the clock: no elapsed work yet -> rate 0
+    m.set_generation(100, rebaseline=True)
+    assert m.gens_per_sec == 0.0
+    m.set_generation(110)
+    time.sleep(0.01)
+    assert m.gens_per_sec > 0
+
+
 def test_image_folder_pipeline(tmp_path):
     from PIL import Image
     for i in range(3):
