@@ -73,12 +73,19 @@ def main():
     # backend; host materialization is the only reliable fence.
     float(np.asarray(state.F).sum())
 
+    # BENCH_PROFILE=<dir>: wrap the timed region in a jax.profiler device
+    # trace (parse with scripts/parse_trace.py --steps <gens>)
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
     t0 = time.perf_counter()
     for _ in range(gens):
         state = step(state, ctx)
     # the dataflow chain through `state` forces all `gens` steps
     float(np.asarray(state.F).sum())
     dt = time.perf_counter() - t0
+    if prof_dir:
+        jax.profiler.stop_trace()
 
     n_chips = jax.device_count()
     cand_per_sec_per_chip = pop * gens / dt / n_chips

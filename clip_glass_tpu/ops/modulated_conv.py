@@ -34,11 +34,21 @@ _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
 
 
 def _conv(x, w, *, stride=1, pad0=0, pad1=0, lhs_dilation=1):
-    return lax.conv_general_dilated(
+    y = lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
         padding=((pad0, pad1), (pad0, pad1)),
         lhs_dilation=(lhs_dilation, lhs_dilation),
         dimension_numbers=_DN)
+    if _CONV_BARRIER:
+        # experiment knob: keep the conv OUT of generic elementwise output
+        # fusions (measurement: CLIP_GLASS_CONV_BARRIER=1)
+        (y,) = lax.optimization_barrier((y,))
+    return y
+
+
+import os as _os  # noqa: E402
+
+_CONV_BARRIER = _os.environ.get("CLIP_GLASS_CONV_BARRIER", "") == "1"
 
 
 def style_from_latent(latent, style_w, style_b):

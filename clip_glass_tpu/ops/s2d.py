@@ -328,6 +328,18 @@ def s2d_upsample2x(y: jnp.ndarray, filter_taps=(1, 3, 3, 1),
 # ------------------------------------------------------------ modulated ops
 
 
+def _pallas_2x2_enabled() -> bool:
+    """Opt-in dispatch of the offset-lattice [2,2] convs to the Mosaic
+    kernel (ops/pallas/s2d_conv2x2.py): CLIP_GLASS_PALLAS_S2D=1."""
+    import os
+    return os.environ.get("CLIP_GLASS_PALLAS_S2D", "0") == "1"
+
+
+def _pallas_2x2(x_s2d, Kp, pad0, style_t, demod_t):
+    from clip_glass_tpu.ops.pallas.s2d_conv2x2 import s2d_conv2x2_pallas
+    return s2d_conv2x2_pallas(x_s2d, Kp, style_t, demod_t, pad0=pad0)
+
+
 def s2d_modulated_conv2d(x_s2d, w, style, *, demodulate: bool = True,
                          eps: float = 1e-8, in_off: int = 0,
                          out_off: int = 0):
@@ -337,6 +349,12 @@ def s2d_modulated_conv2d(x_s2d, w, style, *, demodulate: bool = True,
     onto the lattice pair (in_off != out_off keeps a 3x3 at [2,2] support)."""
     Kp, pad0 = s2d_same_kernel(w, in_off, out_off)
     k = Kp.shape[0]
+    if (k == 2 and Kp.shape[2] == Kp.shape[3] == x_s2d.shape[-1]
+            and _pallas_2x2_enabled()):
+        d = demod_coef(w, style, eps) if demodulate else \
+            jnp.ones_like(style, jnp.float32)
+        return _pallas_2x2(x_s2d, Kp, pad0, tile_channels(style),
+                           tile_channels(d))
     H = phys_size(x_s2d.shape[1], in_off)
     n_out = n_cells(H, out_off)
     pad1 = _pad1_for(x_s2d.shape[1], n_out, k, 1, pad0)
@@ -379,6 +397,10 @@ def s2d_modulated_conv2d_up(x, w, style, *, demodulate: bool = True,
 def s2d_conv2d(x_s2d, w, in_off: int = 0, out_off: int = 0):
     """Unmodulated stride-1 'SAME' conv on an s2d tensor (D fromRGB/conv0)."""
     Kp, pad0 = s2d_same_kernel(w, in_off, out_off)
+    if (Kp.shape[0] == 2 and Kp.shape[2] == Kp.shape[3] == x_s2d.shape[-1]
+            and _pallas_2x2_enabled()):
+        ones = jnp.ones((x_s2d.shape[0], x_s2d.shape[-1]), jnp.float32)
+        return _pallas_2x2(x_s2d, Kp, pad0, ones, ones)
     H = phys_size(x_s2d.shape[1], in_off)
     n_out = n_cells(H, out_off)
     pad1 = _pad1_for(x_s2d.shape[1], n_out, Kp.shape[0], 1, pad0)
