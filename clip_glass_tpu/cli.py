@@ -181,6 +181,7 @@ def main(argv=None) -> int:
         state = shard_state(state, mesh)
 
     remaining = config.generations - int(state.gen)
+    phases["init(gen0)"] = time.perf_counter() - t0 - sum(phases.values())
     with device_trace(args.profile):
         res = minimize(algorithm, n_gen=max(remaining, 0),
                        key=jax.random.PRNGKey(config.seed),

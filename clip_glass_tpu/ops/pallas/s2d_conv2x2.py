@@ -63,19 +63,18 @@ def _kernel(k_ref, xa_ref, xn_ref, o_ref, *, pad0: int,
               + t * tile_v - pad0) < n_in
     xp = jnp.where(gvalid, xp, jnp.zeros_like(xp))
 
-    acc = jnp.zeros((tile_v, n_out, o_ref.shape[-1]), jnp.float32)
+    C = o_ref.shape[-1]
+    acc = jnp.zeros((tile_v * n_out, C), jnp.float32)
     for a in range(2):
         for b in range(2):
-            xt = xp[a:a + tile_v, b:b + n_out, :]
-            acc += jax.lax.dot_general(
-                xt, k_ref[0, a, b],
-                (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    o_ref[0] = acc.astype(o_ref.dtype)
+            xt = xp[a:a + tile_v, b:b + n_out, :].reshape(-1, C)
+            acc += jnp.dot(xt, k_ref[0, a, b],
+                           preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(tile_v, n_out, C).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("pad0", "tile_v"))
-def s2d_conv2x2_pallas(x, K, style, demod, *, pad0: int, tile_v: int = 32):
+def s2d_conv2x2_pallas(x, K, style, demod, *, pad0: int, tile_v: int = 16):
     """x: [B, n, n, C] s2d tensor; K: [2, 2, C, C] folded kernel;
     style/demod: [B, C] per-sample channel scales (phase-tiled; ones for
     unmodulated). Returns [B, n_out, n_out, C] with n_out = n + 1 (pad0=1)
