@@ -201,7 +201,14 @@ def forward(params, input_ids, cfg: GPT2Config = GPT2_124M,
         # decode fast path: fori_loop carrying the cache, each layer writing
         # only its [2,B,H,1,hd] new-token slab in place (a scan's ys would
         # rebuild the whole cache buffer every step — measured 13 ms of
-        # dynamic-update copies per 30-token pop-100 decode)
+        # dynamic-update copies per 30-token pop-100 decode).
+        # Measured round 3 and kept: statically UNROLLING this loop (weight
+        # slices become views fused into the matmuls, removing the
+        # dynamic_index_in_dim weight-copy pass) leaves the decode device
+        # time unchanged (42.5 vs 40.2 ms/generation at pop 100) — the
+        # sequential token loop is per-op LATENCY-bound (~1.1 ms/token over
+        # ~75 small ops), not weight-bandwidth-bound, so the rolled form
+        # wins on compile time and program size.
         def body(l, carry):
             h, c = carry
             bp = jax.tree.map(

@@ -261,6 +261,32 @@ def test_build_oracle_real_checkpoint_layout():
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+def test_s2d_interblock_threading_matches_plain():
+    """Round-3 inter-block s2d threading: a 3-up-block config with the
+    threshold set mid-model covers every boundary combination — plain->s2d
+    up transition (tile_channels skip), s2d->s2d up (un_s2d+tile skip),
+    s2d same-res (per-phase channel drop), and the s2d final BN+RGB tail —
+    against the plain execution, element-wise."""
+    cfg_base = bg.BigGANConfig(
+        z_dim=16, channel_width=8, num_classes=10,
+        layers=((False, 2, 2), (True, 2, 2), (False, 2, 1), (True, 1, 1)),
+        attention_layer_position=1, output_dim=16)
+    params = bg.init(jax.random.PRNGKey(5), cfg_base)
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(3, 16)),
+                    jnp.float32)
+    cv = jax.nn.softmax(jnp.asarray(
+        np.random.default_rng(1).normal(size=(3, 10))), -1)
+    plain = bg.apply(params, z, cv, 1.0,
+                     dataclasses.replace(cfg_base, s2d_min_res=2 ** 30), FP32)
+    for min_res in (4, 8, 16):
+        got = bg.apply(params, z, cv, 1.0,
+                       dataclasses.replace(cfg_base, s2d_min_res=min_res),
+                       FP32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(plain),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"s2d_min_res={min_res}")
+
+
 def test_truncated_noise_sample_bounds():
     x = bg.truncated_noise_sample(jax.random.PRNGKey(0), 100, 128, 0.5)
     xa = np.asarray(x)
