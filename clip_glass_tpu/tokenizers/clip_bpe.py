@@ -1,9 +1,11 @@
 """CLIP BPE tokenizer + `tokenize` context packing.
 
 Reimplements reference clip/simple_tokenizer.py:10-132 and the 77-token
-context packing of reference clip/clip.py:125-138. The only behavioral
-substitution: `ftfy.fix_text` (mojibake repair) is replaced by NFC
-normalization — identity on well-formed input, which is all this framework
+context packing of reference clip/clip.py:125-138, including a
+dependency-free stand-in for `ftfy.fix_text`: UTF-8 mojibake repair
+(`fix_mojibake`, covering ftfy's dominant case — UTF-8 text decoded as
+cp1252/latin-1, e.g. "CafÃ©" -> "Café", "â€™" -> "’") followed by NFC
+normalization. Identity on well-formed input, which is all this framework
 feeds it (CLI `--target` strings and GPT-2 decoded captions).
 """
 
@@ -25,8 +27,35 @@ _ASSET_DIR = os.path.join(os.path.dirname(__file__), "assets")
 CONTEXT_LENGTH = 77
 
 
+def fix_mojibake(text: str, max_rounds: int = 3) -> str:
+    """Repair UTF-8 mojibake (the dominant `ftfy.fix_text` case, reference
+    clip/simple_tokenizer.py:50-53): text whose UTF-8 bytes were decoded as
+    cp1252/latin-1 re-encodes losslessly and decodes as valid UTF-8 with
+    FEWER codepoints; well-formed text fails one of those gates and passes
+    through untouched. Applied iteratively for doubly-encoded input."""
+    for _ in range(max_rounds):
+        if all(ord(c) < 0x80 for c in text):
+            return text  # pure ASCII: nothing to repair
+        try:
+            raw = text.encode("cp1252")
+        except UnicodeEncodeError:
+            try:
+                raw = text.encode("latin-1")
+            except UnicodeEncodeError:
+                return text
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return text
+        if len(fixed) >= len(text):
+            return text
+        text = fixed
+    return text
+
+
 def basic_clean(text: str) -> str:
-    text = unicodedata.normalize("NFC", text)  # ftfy.fix_text stand-in
+    text = fix_mojibake(text)                  # ftfy.fix_text stand-in
+    text = unicodedata.normalize("NFC", text)
     text = html.unescape(html.unescape(text))
     return text.strip()
 

@@ -39,10 +39,10 @@ from clip_glass_tpu.training import losses
 
 @dataclasses.dataclass
 class TrainerConfig:
-    """Training hyperparameters. Overlayable from JSON files — the analogue
-    of the reference's yaml ConfigArgumentParser (stylegan2/utils.py:152-181;
-    yaml is not available in this environment, JSON carries the same role).
-    """
+    """Training hyperparameters. Overlayable from YAML files — the
+    reference's yaml ConfigArgumentParser contract (stylegan2/
+    utils.py:152-181) — or from JSON (same keys; used when pyyaml is
+    absent)."""
     batch_size: int = 4
     g_lr: float = 2e-3
     d_lr: float = 2e-3
@@ -67,16 +67,31 @@ class TrainerConfig:
     seed: int = 0
 
     @classmethod
-    def from_json(cls, path: str, **overrides) -> "TrainerConfig":
-        with open(path) as f:
-            data = json.load(f)
+    def from_file(cls, path: str, **overrides) -> "TrainerConfig":
+        """Load an overlay file: .yaml/.yml via pyyaml (the reference's
+        yaml.safe_load, stylegan2/utils.py:160-181), anything else JSON."""
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+            with open(path) as f:
+                data = yaml.safe_load(f) or {}
+        else:
+            with open(path) as f:
+                data = json.load(f)
         data.update(overrides)
         fields = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in data.items() if k in fields})
 
+    # back-compat alias (JSON was the only overlay format before round 3)
+    from_json = from_file
+
     def to_json(self, path: str):
         with open(path, "w") as f:
             json.dump(dataclasses.asdict(self), f, indent=1)
+
+    def to_yaml(self, path: str):
+        import yaml
+        with open(path, "w") as f:
+            yaml.safe_dump(dataclasses.asdict(self), f)
 
 
 class TrainState(NamedTuple):

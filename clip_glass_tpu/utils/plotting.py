@@ -1,6 +1,7 @@
-"""Pareto-front scatter plot (reference run.py:86-89 uses pymoo's matplotlib
-Scatter; matplotlib is not available in this environment, so this renders a
-dependency-free PIL scatter with axes and labels)."""
+"""Pareto-front scatter plot (reference run.py:86-89: pymoo's `Scatter`,
+which wraps matplotlib). Renders with matplotlib when it is installed —
+matching the reference's F.jpg — and falls back to a dependency-free PIL
+scatter with axes and labels otherwise."""
 
 from __future__ import annotations
 
@@ -11,6 +12,36 @@ import numpy as np
 
 def save_scatter(F: np.ndarray, path: str, labels=("similarity", "discriminator"),
                  size: int = 480, margin: int = 48, color=(220, 40, 40)):
+    try:
+        import matplotlib
+    except ImportError:
+        matplotlib = None
+    if matplotlib is not None:
+        return _save_scatter_matplotlib(F, path, labels)
+    return _save_scatter_pil(F, path, labels, size, margin, color)
+
+
+def _save_scatter_matplotlib(F: np.ndarray, path: str, labels):
+    """The reference's plot: pymoo Scatter draws red points on labeled axes
+    and `.save(path)` writes via matplotlib (reference run.py:86-89)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    F = np.atleast_2d(np.asarray(F, np.float64))
+    fig, ax = plt.subplots(figsize=(6, 6))
+    y = F[:, 1] if F.shape[1] > 1 else np.zeros(F.shape[0])
+    ax.scatter(F[:, 0], y, s=30, facecolors="none", edgecolors="red")
+    ax.set_xlabel(labels[0])
+    if F.shape[1] > 1:
+        ax.set_ylabel(labels[1])
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def _save_scatter_pil(F: np.ndarray, path: str, labels,
+                      size: int = 480, margin: int = 48, color=(220, 40, 40)):
     from PIL import Image, ImageDraw
 
     F = np.asarray(F, np.float64)

@@ -98,6 +98,25 @@ def test_clip_vs_transformers_oracle():
         assert c.encode(s) == t.encode(s, add_special_tokens=False), s
 
 
+def test_fix_mojibake():
+    """The ftfy.fix_text stand-in (reference clip/simple_tokenizer.py:50-53):
+    UTF-8-as-cp1252 mojibake is repaired, including double encodings;
+    well-formed text of any script passes through untouched."""
+    from clip_glass_tpu.tokenizers.clip_bpe import basic_clean, fix_mojibake
+
+    assert fix_mojibake("CafÃ©") == "Café"
+    assert fix_mojibake("donâ€™t") == "don’t"
+    assert fix_mojibake("naÃ¯ve rÃ©sumÃ©") == "naïve résumé"
+    # double-encoded
+    assert fix_mojibake("CafÃƒÂ©") == "Café"
+    # identity on well-formed input (the gates, not luck)
+    for ok in ("a red flower", "Café au lait", "naïve — résumé",
+               "Привет мир", "日本語テキスト", "emoji 🙂 fine"):
+        assert fix_mojibake(ok) == ok, ok
+    # and through the full clean pipeline
+    assert basic_clean("CafÃ©  ") == "Café"
+
+
 def test_tokenize_packing():
     out = tokenize(["a red flower", "a wolf"])
     assert out.shape == (2, 77)

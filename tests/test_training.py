@@ -133,6 +133,19 @@ def test_trainer_config_json_overlay(tmp_path):
     assert loaded.d_lr == 5e-4  # override wins
 
 
+def test_trainer_config_yaml_overlay(tmp_path):
+    """The reference's yaml ConfigArgumentParser contract
+    (stylegan2/utils.py:160-181): .yaml overlays load via yaml.safe_load
+    with CLI-style overrides winning."""
+    pytest.importorskip("yaml")
+    cfg = TrainerConfig(batch_size=6, g_lr=1e-3)
+    p = str(tmp_path / "cfg.yaml")
+    cfg.to_yaml(p)
+    loaded = TrainerConfig.from_file(p, d_lr=5e-4)
+    assert loaded.batch_size == 6 and loaded.g_lr == 1e-3
+    assert loaded.d_lr == 5e-4
+
+
 # ------------------------------------------------------------ subdivisions
 
 def test_accumulate_value_and_grads_is_exact_chunk_mean():
