@@ -27,7 +27,16 @@ class _PermissiveModule(types.ModuleType):
 def _stub(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
+    # prefer the REAL module when it is installed (e.g. matplotlib/yaml in
+    # this image): registering a permissive stub under a real module's name
+    # would poison every later import in the process (the production
+    # save_scatter renders F.jpg through real matplotlib)
+    import importlib
     import importlib.machinery
+    try:
+        return importlib.import_module(name)
+    except ImportError:
+        pass
     mod = _PermissiveModule(name)
     # transformers probes availability via find_spec; a None __spec__ raises
     mod.__spec__ = importlib.machinery.ModuleSpec(name, None)

@@ -131,6 +131,26 @@ def test_save_grid_uint8_matches_float(tmp_path):
                                   np.asarray(Image.open(pu)))
 
 
+def test_validate_pretrained_skips_cleanly_without_checkpoints(tmp_path):
+    """scripts/validate_pretrained.py is the pretrained-validation harness;
+    without any checkpoints every check must SKIP (not FAIL) and the exit
+    code must be 0."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "validate_pretrained.py"),
+         "--weights-dir", str(tmp_path / "none"),
+         "--out", str(tmp_path / "out")],
+        capture_output=True, text=True,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-800:]
+    assert "0 failed" in r.stdout
+    assert "SKIP" in r.stdout and "FAIL]" not in r.stdout
+
+
 def test_enable_compile_cache_respects_env(monkeypatch, tmp_path):
     """An explicit JAX_COMPILATION_CACHE_DIR must not be clobbered."""
     import jax
