@@ -167,7 +167,8 @@ def main(argv=None) -> int:
         save_state(state, config.tmp_folder, config.name)
         # the first chunk's wall time is dominated by XLA compilation:
         # rebaseline there so reported rates are steady-state
-        meter.set_generation(gen, rebaseline=(meter._gens == 0 and gen > 0))
+        meter.set_generation(gen,
+                             rebaseline=(meter.generation == 0 and gen > 0))
         if args.verbose and meter.gens_per_sec > 0:
             print(f"  rate: {meter.gens_per_sec:.2f} gen/s "
                   f"({meter.candidates_per_sec:.1f} candidates/s)")

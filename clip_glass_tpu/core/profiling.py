@@ -88,6 +88,11 @@ class GenerationMeter:
     def update(self, n_gens: int = 1):
         self._gens += n_gens
 
+    @property
+    def generation(self) -> int:
+        """Current absolute generation counter."""
+        return self._gens
+
     def rebaseline(self, gen: int):
         """Restart the clock at absolute generation `gen`: subsequent rates
         measure only work done after this call. Use after any wall-clock

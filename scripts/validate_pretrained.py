@@ -229,10 +229,10 @@ def validate_stylegan2(wdir, out, ref_dir, config):
             nets = tfc.convert_pkl(pkl)
             g_params, cfg, noises = nets.get("Gs") or nets["G"]
         elif os.path.exists(gnpz):
-            from clip_glass_tpu.config import get_config  # noqa: F401
-            from clip_glass_tpu.fitness import generator as genmod
+            import dataclasses
+            import json
+
             from clip_glass_tpu.core import pytree
-            import dataclasses, json
             g_params = pytree.restore_lists(pytree.load_npz(gnpz))
             with open(os.path.join(sdir, "G_cfg.json")) as f:
                 d = json.load(f)
