@@ -30,3 +30,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Drop jit caches between test MODULES: the full suite compiles
+    hundreds of programs into one process, and with enough accumulated
+    live executables the XLA:CPU runtime intermittently aborts inside a
+    later sharded execution (observed at tests/test_parallel.py's
+    full-step tests; the same tests pass with a lighter process history).
+    Per-module clearing bounds the population; the persistent compile
+    cache keeps re-lowering cheap."""
+    yield
+    jax.clear_caches()

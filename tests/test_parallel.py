@@ -18,6 +18,19 @@ from clip_glass_tpu.parallel.mesh import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _fresh_caches():
+    """These tests compile full sharded GA steps on the 8-device virtual
+    mesh; late in a full-suite process the accumulated live executables
+    make the XLA:CPU runtime abort inside execution (observed at
+    test_full_ga_step_sharded_equals_single_device; the same tests pass in
+    a fresh process). Dropping jit caches before each test keeps the
+    executable population bounded — the persistent compile cache makes the
+    re-lowering cheap."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def clip_setup():
     params = jax.jit(lambda k: jclip.init(k, jclip.TINY))(jax.random.PRNGKey(0))
