@@ -34,6 +34,16 @@ _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
 
 
 def _conv(x, w, *, stride=1, pad0=0, pad1=0, lhs_dilation=1):
+    if _PAD_EVEN and lhs_dilation == 1 and w.shape[0] % 2 == 0 \
+            and w.shape[1] % 2 == 0:
+        # Experiment knob (CLIP_GLASS_PAD_EVEN=1): zero-pad even square
+        # kernels to the next odd size — K'[1+i,1+j] = K[i,j], pad0 += 1 is
+        # the exact same arithmetic for any stride. Rationale: the XLA TPU
+        # conv emitter tiles odd/SAME windows far better than even ones at
+        # these shapes (measured: [3,3] rows at 74-96% of roofline vs [2,2]
+        # at ~21% and [4,4] stride-2 at 43% on the flagship step).
+        w = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        pad0 = pad0 + 1
     y = lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
         padding=((pad0, pad1), (pad0, pad1)),
@@ -49,6 +59,7 @@ def _conv(x, w, *, stride=1, pad0=0, pad1=0, lhs_dilation=1):
 import os as _os  # noqa: E402
 
 _CONV_BARRIER = _os.environ.get("CLIP_GLASS_CONV_BARRIER", "") == "1"
+_PAD_EVEN = _os.environ.get("CLIP_GLASS_PAD_EVEN", "") == "1"
 
 
 def style_from_latent(latent, style_w, style_b):
