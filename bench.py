@@ -73,6 +73,14 @@ def main():
     # backend; host materialization is the only reliable fence.
     float(np.asarray(state.F).sum())
 
+    # BENCH_DUMP_HLO=<file>: write the compiled step's HLO text (the
+    # persistent cache makes this cheap after warmup) for
+    # scripts/parse_trace.py --hlo fusion attribution
+    dump_hlo = os.environ.get("BENCH_DUMP_HLO")
+    if dump_hlo and not algorithm.host_eval:
+        with open(dump_hlo, "w") as f:
+            f.write(step.lower(state, ctx).compile().as_text())
+
     # BENCH_PROFILE=<dir>: wrap the timed region in a jax.profiler device
     # trace (parse with scripts/parse_trace.py --steps <gens>)
     prof_dir = os.environ.get("BENCH_PROFILE")
