@@ -44,6 +44,14 @@ def _conv(x, w, *, stride=1, pad0=0, pad1=0, lhs_dilation=1):
         # at ~21% and [4,4] stride-2 at 43% on the flagship step).
         w = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
         pad0 = pad0 + 1
+    if _CONV_IN_BARRIER:
+        # experiment knob (CLIP_GLASS_CONV_IN_BARRIER=1): materialize the
+        # conv INPUT instead of letting its elementwise producers fuse into
+        # the conv's tiled reads (the output-side CONV_BARRIER showed the
+        # emitter gap is not output-fusion-induced; same-shape convs with
+        # different fused producers measure up to 2x apart, so probe the
+        # input side too)
+        (x,) = lax.optimization_barrier((x,))
     y = lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
         padding=((pad0, pad1), (pad0, pad1)),
@@ -60,6 +68,7 @@ import os as _os  # noqa: E402
 
 _CONV_BARRIER = _os.environ.get("CLIP_GLASS_CONV_BARRIER", "") == "1"
 _PAD_EVEN = _os.environ.get("CLIP_GLASS_PAD_EVEN", "") == "1"
+_CONV_IN_BARRIER = _os.environ.get("CLIP_GLASS_CONV_IN_BARRIER", "") == "1"
 
 
 def style_from_latent(latent, style_w, style_b):
