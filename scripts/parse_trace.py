@@ -63,7 +63,8 @@ def device_pids(pnames):
     return pids or set(pnames)
 
 
-_DEF_RE = re.compile(r"^\s*(?:ROOT )?%([\w.-]+) = (\w+\[[\d,]*\])")
+_DEF_RE = re.compile(r"^\s*(?:ROOT )?%([\w.-]+) = (\w+\[[\d,]*\]|\()")
+_OPCODE_RE = re.compile(r"(\w+)\(%")  # first "op(%operand" on the line
 _CALLS_RE = re.compile(r"calls=%([\w.-]+)")
 _WINDOW_RE = re.compile(r"window=\{([^}]*)\}")
 
@@ -88,7 +89,8 @@ class HloIndex:
                     comps[cur].append(line)
                 m = _DEF_RE.match(line)
                 if m:
-                    shapes.setdefault(m.group(1), m.group(2))
+                    shape = "(tuple)" if m.group(2) == "(" else m.group(2)
+                    shapes.setdefault(m.group(1), shape)
                     opline.setdefault(m.group(1), line)
         self.shapes, self.opline, self.comps = shapes, opline, comps
 
@@ -105,25 +107,42 @@ class HloIndex:
         return (f"conv {self.shapes.get(lhs, '?')} * {self.shapes.get(rhs, '?')}"
                 f" -> {out}" + (f"  window={{{w.group(1)}}}" if w else ""))
 
+    def _collect_convs(self, comp: str, seen=None) -> list:
+        """All convolution lines reachable from a fused computation,
+        recursing through NESTED fusion instructions (the TPU backend nests
+        whole convs inside other conv fusions' producers — a trace row can
+        carry several convs' work)."""
+        seen = seen if seen is not None else set()
+        if comp in seen or comp not in self.comps:
+            return []
+        seen.add(comp)
+        out = []
+        for l in self.comps[comp]:
+            if " convolution(" in l:
+                out.append(l)
+            else:
+                m = _CALLS_RE.search(l)
+                if m:
+                    out.extend(self._collect_convs(m.group(1), seen))
+        return out
+
     def annotate(self, name: str) -> str:
         line = self.opline.get(name)
         if line is None:
             return ""
         m = _CALLS_RE.search(line)
         if m and m.group(1) in self.comps:
-            convs = [l for l in self.comps[m.group(1)] if " convolution(" in l]
+            convs = self._collect_convs(m.group(1))
             if convs:
-                note = self._conv_note(convs[-1]) or "conv ?"
-                if len(convs) > 1:
-                    note += f" (+{len(convs) - 1} more)"
-                return note
+                notes = [self._conv_note(l) or "conv ?" for l in convs]
+                return "  ++  ".join(notes)
             roots = [l for l in self.comps[m.group(1)] if " ROOT " in l
                      or l.lstrip().startswith("ROOT ")]
             if roots:
-                mm = re.search(r"= \w+\[[\d,]*\][^ ]* (\w+)", roots[-1])
+                mm = _OPCODE_RE.search(roots[-1])
                 if mm:
                     return f"root={mm.group(1)} {self.shapes.get(name, '')}"
-        mm = re.search(r"= \w+\[[\d,]*\][^ ]* (\w+)", line)
+        mm = _OPCODE_RE.search(line)
         return f"{mm.group(1)} {self.shapes.get(name, '')}" if mm else ""
 
 
