@@ -67,8 +67,25 @@ def main():
     ctx = algorithm.ctx
     step = (algorithm.step_fn() if algorithm.host_eval
             else jax.jit(algorithm.step_fn(), donate_argnums=0))
-    for _ in range(warmup):
-        state = step(state, ctx)
+
+    # Dispatch granularity. The production driver (evolve.minimize, used by
+    # the CLI) advances generations in save_each-sized chunks, each chunk ONE
+    # jitted lax.fori_loop dispatch — per-generation host dispatch is not on
+    # the production path. Default: measure the same chunked execution
+    # (BENCH_CHUNK generations per dispatch, = gens). BENCH_CHUNK=1 restores
+    # per-step dispatch (always used under BENCH_PROFILE/BENCH_DUMP_HLO so
+    # trace rows and the HLO dump stay per-step).
+    chunk = int(os.environ.get("BENCH_CHUNK", str(gens)))
+    if os.environ.get("BENCH_PROFILE") or os.environ.get("BENCH_DUMP_HLO"):
+        chunk = 1
+    use_chunks = chunk > 1 and not algorithm.host_eval
+    if use_chunks:
+        run_chunk = algorithm._jit_chunk
+        for _ in range(warmup):
+            state = run_chunk(state, ctx, chunk)
+    else:
+        for _ in range(warmup):
+            state = step(state, ctx)
     # NOTE: block_until_ready does NOT synchronize on the tunneled axon
     # backend; host materialization is the only reliable fence.
     float(np.asarray(state.F).sum())
@@ -87,8 +104,15 @@ def main():
     if prof_dir:
         jax.profiler.start_trace(prof_dir)
     t0 = time.perf_counter()
-    for _ in range(gens):
-        state = step(state, ctx)
+    if use_chunks:
+        done = 0
+        while done < gens:
+            n = min(chunk, gens - done)
+            state = run_chunk(state, ctx, n)
+            done += n
+    else:
+        for _ in range(gens):
+            state = step(state, ctx)
     # the dataflow chain through `state` forces all `gens` steps
     float(np.asarray(state.F).sum())
     dt = time.perf_counter() - t0

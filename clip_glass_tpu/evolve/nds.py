@@ -3,12 +3,20 @@
 The reference delegates these to pymoo's host-side numpy NSGA-II (reference
 run.py:59-76). Here both run inside jit with fixed shapes: domination as an
 O(n^2) boolean matrix (n = 2*pop <= 512 for every reference config — trivial
-on the VPU), front ranks by iterative peeling under `lax.while_loop`, and
-pymoo's exact crowding formula evaluated per front via lexicographic sorts
-and segment reductions keyed by front id.
+on the VPU), front ranks by longest-dominator-chain lengths via log-depth
+max-plus matrix squaring (front peeling under `lax.while_loop` kept as an
+env-selectable alternative; both are below per-op resolution in the
+flagship step trace — the fixed-op-count form is preferred because its
+latency cannot grow with the front count, whereas peeling serializes one
+tiny masked pass per front, up to n for chain-shaped F), and pymoo's
+exact crowding formula evaluated per front via lexicographic sorts and
+segment reductions keyed by front id.
 """
 
 from __future__ import annotations
+
+import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +31,52 @@ def domination_matrix(F: jnp.ndarray) -> jnp.ndarray:
 
 
 def non_dominated_rank(F: jnp.ndarray) -> jnp.ndarray:
-    """Front index per individual (0 = Pareto front), via front peeling."""
+    """Front index per individual (0 = Pareto front).
+
+    Equivalent characterizations (both implemented, equivalence tested):
+    front(i) = the peel round that removes i = the length in edges of the
+    longest domination chain ending at i (induction on peel rounds: i is
+    peeled in round k iff some dominator of i is peeled in round k-1).
+    """
+    if os.environ.get("CLIP_GLASS_NDS") == "peel":
+        return _rank_by_peeling(F)
+    return _rank_by_chain_lengths(F)
+
+
+def _rank_by_chain_lengths(F: jnp.ndarray) -> jnp.ndarray:
+    """Longest-dominator-chain lengths by (max, +) matrix squaring.
+
+    The domination relation is a strict partial order (a DAG), so the
+    longest path into each node is finite and computable by repeated
+    squaring of the path-length matrix over the (max, +) semiring:
+    P[i, j] = longest path i->j in edges (0 on the diagonal, -inf when
+    unreachable). ceil(log2(n-1)) squarings cover every chain — a FIXED
+    op count vs the peeling loop's data-dependent ~#fronts trip count,
+    whose per-iteration cond sync serializes on the TPU's per-op latency
+    (the same tail that bounds GPT-2 decode, DESIGN.md §9).
+    """
+    n = F.shape[0]
+    if n <= 2:
+        # 0/1 fronts only: rank = 1 iff the other individual dominates
+        D = domination_matrix(F)
+        return jnp.any(D, axis=0).astype(jnp.int32)
+    D = domination_matrix(F)
+    neg = jnp.int32(-(n + 1))  # "-inf": any sum stays < 0 (paths <= n-1)
+    eye = jnp.eye(n, dtype=bool)
+    P = jnp.where(D, jnp.int32(1), neg)
+    P = jnp.where(eye, jnp.int32(0), P)
+    # diagonal zeros make squaring monotone (k=i or k=j reproduces P), so
+    # P after m squarings holds longest paths among those <= 2^m edges
+    for _ in range(max(1, math.ceil(math.log2(n - 1)))):
+        P = jnp.max(P[:, :, None] + P[None, :, :], axis=1)
+        P = jnp.minimum(P, n)  # cap: sums of two negs may underflow toward 2*neg only; cap keeps int32 far from wrap
+    return jnp.max(P, axis=0).astype(jnp.int32)  # includes P[j,j]=0
+
+
+def _rank_by_peeling(F: jnp.ndarray) -> jnp.ndarray:
+    """Front peeling under lax.while_loop (the direct transcription of the
+    NSGA-II definition; retained as the reference implementation for the
+    equivalence test and via CLIP_GLASS_NDS=peel)."""
     D = domination_matrix(F)
     n = F.shape[0]
 

@@ -90,6 +90,13 @@ class Generator:
             from clip_glass_tpu.weights import convert_clip
             self.clip_params, self.clip_cfg = convert_clip.load_checkpoint(
                 clip_weights)
+        # stage the frozen tower for the compute dtype once (exact; jit
+        # inputs re-convert every step otherwise — clip_model.precast_params)
+        if self.policy.compute_dtype != jnp.float32:
+            _precast = lambda p: clip_model.precast_params(p, self.policy)
+            self.clip_params = (jax.eval_shape(_precast, self.clip_params)
+                                if self.abstract
+                                else jax.jit(_precast)(self.clip_params))
 
         # ---- model family (model_cfg overrides the default architecture,
         # e.g. TINY variants for tests / the multichip dryrun)
@@ -140,6 +147,12 @@ class Generator:
                     jax.random.split(jax.random.PRNGKey(7),
                                      len(self.model_cfg.noise_shapes())),
                     self.model_cfg.noise_shapes())]
+            # pre-fold the fixed planes into the s2d lattice layouts once
+            # (exact; saves ~1 ms/step of in-program layout copies at 1024px
+            # — see sg2.pack_noise)
+            self.noise = jax.jit(
+                lambda ns: sg2.pack_noise(ns, self.model_cfg, self.policy)
+            )(self.noise)
         elif fam == "biggan":
             if _is_random(config.weights):
                 self.model_cfg = self._model_cfg_override or bg.CONFIGS.get(
@@ -258,8 +271,11 @@ class Generator:
             self.d_params = (jax.eval_shape(
                 lambda k: sg2.discriminator_init(k, self.model_cfg), key)
                 if config.use_discriminator else None)
-            self.noise = [jax.ShapeDtypeStruct(s, jnp.float32)
-                          for s in self.model_cfg.noise_shapes()]
+            # abstract noise mirrors the packed production layout
+            self.noise = jax.eval_shape(
+                lambda ns: sg2.pack_noise(ns, self.model_cfg, self.policy),
+                [jax.ShapeDtypeStruct(s, jnp.float32)
+                 for s in self.model_cfg.noise_shapes()])
         elif fam == "biggan":
             self.model_cfg = self._model_cfg_override or bg.CONFIGS.get(
                 f"biggan-deep-{config.resolution}", bg.BIGGAN_DEEP_256)

@@ -129,6 +129,33 @@ def init(key, cfg: CLIPConfig = VIT_B_32):
 
 # ---------------------------------------------------------------- forward
 
+def precast_params(params, policy: Policy):
+    """Pre-cast every leaf the forward consumes through policy.cast_compute
+    to the compute dtype, once. LayerNorm scales/biases and logit_scale are
+    EXCLUDED: layer_norm (ops/norms.py:15-22) reads them raw in fp32,
+    mirroring the reference's fp16-weights/fp32-LN split (reference
+    clip/model.py:152-158) — pre-casting those would lose precision.
+
+    Rationale: as jit inputs, fp32 weights re-convert inside EVERY
+    generation step (the 12-layer ViT stacks alone are ~0.5 ms/step of
+    convert ops in the flagship trace, DESIGN.md §9); cast_compute on an
+    already-bf16 leaf traces to a no-op. Exact for all consumers: bf16(w)
+    is bitwise the value the uncast program feeds the same ops."""
+    def cast(path, leaf):
+        if not hasattr(leaf, "dtype") or not jnp.issubdtype(leaf.dtype,
+                                                            jnp.floating):
+            return leaf
+        for p in path:
+            key = getattr(p, "key", None)
+            if isinstance(key, str) and (key.startswith("ln_")
+                                         or key.startswith("bn")
+                                         or key == "logit_scale"):
+                return leaf
+        return policy.cast_compute(leaf)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 def _block_forward(x, bp, n_head: int, mask: Optional[jnp.ndarray], policy: Policy):
     """Pre-LN residual attention block (reference clip/model.py:164-187)."""
     h = layer_norm(x, bp["ln_1"]["scale"], bp["ln_1"]["bias"])

@@ -259,6 +259,54 @@ def _s2d_supported(cfg: SG2Config) -> bool:
     return cfg.kernel_size == 3 and len(cfg.filter_taps) == 4
 
 
+def noise_layouts(cfg: SG2Config):
+    """Replays synthesis_apply's lattice progression: for each noise layer
+    (in noise_shapes order) the (is_s2d, lattice_offset) of the tensor the
+    noise add sees. Keep in lockstep with the synthesis loop below."""
+    out = []
+    res = cfg.base_size
+    x_s2d, x_off = False, 0
+    for (_in_ch, _out_ch, up, n_layers) in cfg.block_channels():
+        if up:
+            res *= 2
+        use_s2d = _s2d_supported(cfg) and res >= cfg.s2d_min_res
+        for li in range(n_layers):
+            if up and li == 0:
+                if use_s2d:
+                    x_s2d, x_off = True, 0
+            else:
+                if use_s2d and not x_s2d:
+                    x_s2d, x_off = True, 0
+                if x_s2d:
+                    x_off = (0 if x_off else -1) if cfg.s2d_offsets else 0
+            out.append((x_s2d, x_off))
+    return out
+
+
+def pack_noise(noise, cfg: SG2Config, policy: Policy = FP32):
+    """Pre-fold fixed per-layer noise planes into the lattice layouts the
+    synthesis consumes: s2d-level planes become [nh, nw, 4] (phase-major, at
+    the layer's lattice offset, phantoms zero) in the compute dtype.
+
+    The fold is a pure reshape/pad (ops/s2d.s2d_hw) — exact — but as a jit
+    INPUT it cannot be hoisted out of the per-generation program, where it
+    showed up as ~1 ms/step of layout-change copies at 1024px (trace,
+    DESIGN.md §9). Fixed-noise searches fold once here instead;
+    synthesis_apply detects packed entries by ndim (raw planes are 2-D).
+    The reference cannot stage this at all: it redraws noise every call
+    (reference stylegan2/modules.py:303-456)."""
+    from clip_glass_tpu.ops import s2d as s2d_ops
+
+    if noise is None or not isinstance(noise, (list, tuple)):
+        return noise
+    packed = []
+    for nz, (is_s2d, off) in zip(noise, noise_layouts(cfg)):
+        if nz is not None and is_s2d and nz.ndim == 2:
+            nz = s2d_ops.s2d_hw(policy.cast_compute(nz), off)
+        packed.append(nz)
+    return packed
+
+
 def s2d_output_offset(cfg: SG2Config) -> int:
     """Lattice offset of the tensor synthesis_apply(output_s2d=True) returns
     (and discriminator_apply(input_s2d=True) expects as input_offset).
@@ -352,7 +400,10 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
             if nz is not None:
                 scale = policy.cast_compute(lp["noise_scale"])
                 if x_s2d:
-                    nz_s = s2d_ops.s2d_hw(policy.cast_compute(nz), x_off)
+                    # 3-D noise = pre-packed by pack_noise (already on this
+                    # layer's lattice); 2-D = raw plane, fold here
+                    nz_s = (policy.cast_compute(nz) if nz.ndim == 3
+                            else s2d_ops.s2d_hw(policy.cast_compute(nz), x_off))
                     Bs, Hh, Wh, C4 = x.shape
                     x = (x.reshape(Bs, Hh, Wh, 4, C4 // 4)
                          + scale * nz_s[None, :, :, :, None]

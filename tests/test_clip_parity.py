@@ -140,3 +140,35 @@ def test_bf16_policy_cosine_close_to_fp32(oracle):
     e16 = np.asarray(jax.jit(lambda p, im: jclip.encode_image(p, im, cfg, bf16))(params, imgs), np.float32)
     cos = (e32 * e16).sum(-1) / (np.linalg.norm(e32, axis=-1) * np.linalg.norm(e16, axis=-1))
     assert (cos > 0.995).all()
+
+
+def test_precast_params_exact(oracle):
+    """precast_params staging is EXACT for the forward (bf16(w) is bitwise
+    the value the uncast program feeds the same ops) and leaves the fp32-LN
+    leaves untouched (reference clip/model.py:152-158 precision split)."""
+    _, params, cfg = oracle
+    bf16 = Policy(jnp.float32, jnp.bfloat16)
+    pc = jclip.precast_params(params, bf16)
+    # LN leaves keep fp32 storage and identical values; weights go bf16
+    v, vp = params["visual"], pc["visual"]
+    assert vp["ln_pre"]["scale"].dtype == jnp.float32
+    assert vp["blocks"]["ln_1"]["scale"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(v["ln_post"]["bias"]),
+                                  np.asarray(vp["ln_post"]["bias"]))
+    assert vp["patch_embed"]["weight"].dtype == jnp.bfloat16
+    assert vp["blocks"]["mlp"]["c_fc_weight"].dtype == jnp.bfloat16
+    assert pc["logit_scale"].dtype == jnp.float32
+
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32))
+    a = jax.jit(lambda p, im: jclip.encode_image(p, im, cfg, bf16))(params, imgs)
+    b = jax.jit(lambda p, im: jclip.encode_image(p, im, cfg, bf16))(pc, imgs)
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32))
+
+    toks = np.zeros((2, cfg.context_length), np.int64)
+    toks[:, 0], toks[:, 1] = 1, 2
+    at = jax.jit(lambda p, t: jclip.encode_text(p, t, cfg, bf16))(params, jnp.asarray(toks))
+    bt = jax.jit(lambda p, t: jclip.encode_text(p, t, cfg, bf16))(pc, jnp.asarray(toks))
+    np.testing.assert_array_equal(np.asarray(at, np.float32),
+                                  np.asarray(bt, np.float32))

@@ -192,6 +192,24 @@ def test_nds_rank_three_objectives(rng):
                                   _np_nds_ranks(np.asarray(F)))
 
 
+def test_nds_chain_lengths_equal_peeling(rng):
+    """The default log-depth max-plus ranking == the direct peeling
+    transcription, across sizes (incl. the n<=2 special case), objective
+    counts, duplicated rows, and a fully-ordered chain (worst-case depth)."""
+    from clip_glass_tpu.evolve.nds import _rank_by_chain_lengths, _rank_by_peeling
+
+    cases = [rng.normal(size=(n, m)).astype(np.float32)
+             for n, m in [(1, 2), (2, 2), (3, 2), (32, 2), (33, 3), (64, 2)]]
+    dup = rng.normal(size=(12, 2)).astype(np.float32)
+    cases.append(np.repeat(dup, 3, axis=0))                 # many exact duplicates
+    chain = np.arange(24, dtype=np.float32)[:, None] * np.ones((1, 2), np.float32)
+    cases.append(chain)                                      # 24 singleton fronts
+    for F in cases:
+        F = jnp.asarray(F)
+        np.testing.assert_array_equal(np.asarray(_rank_by_chain_lengths(F)),
+                                      np.asarray(_rank_by_peeling(F)))
+
+
 def test_crowding_matches_numpy_oracle(rng):
     F = jnp.asarray(rng.normal(size=(48, 2)).astype(np.float32))
     rank = non_dominated_rank(F)

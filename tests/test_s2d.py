@@ -329,6 +329,23 @@ def test_synthesis_s2d_matches_plain(tiny_params, rng):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_pack_noise_matches_raw(tiny_params, rng):
+    """Pre-packed noise (pack_noise at init) produces EXACTLY the synthesis
+    output of raw [H, W] planes folded in-program, with and without lattice
+    offsets — the layouts replay (noise_layouts) must stay in lockstep with
+    the synthesis loop."""
+    gp, _, noise = tiny_params
+    z = r(rng, 4, sg2.TINY.latent_size)
+    for cfg in (TINY_S2D, dataclasses.replace(TINY_S2D, s2d_offsets=False),
+                dataclasses.replace(TINY_S2D, rgb_s4d=False), sg2.TINY):
+        packed = sg2.pack_noise(noise, cfg, FP32)
+        n_s2d = sum(1 for use, _ in sg2.noise_layouts(cfg) if use)
+        assert sum(1 for p in packed if p.ndim == 3) == n_s2d
+        a = sg2.generator_apply(gp, z, cfg, noise=noise, policy=FP32)
+        b = sg2.generator_apply(gp, z, cfg, noise=packed, policy=FP32)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_synthesis_output_s2d_layout(tiny_params, rng):
     gp, _, noise = tiny_params
     z = r(rng, 4, sg2.TINY.latent_size)
