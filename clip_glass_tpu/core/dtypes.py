@@ -47,3 +47,32 @@ class Policy:
 
 FP32 = Policy(jnp.float32, jnp.float32)
 BF16 = Policy(jnp.float32, jnp.bfloat16)
+
+
+def precast_params(params, policy: Policy, exclude_prefixes: tuple = ()):
+    """Pre-cast every float leaf of a FROZEN param tree to the compute
+    dtype, once, except leaves whose path contains a key starting with one
+    of `exclude_prefixes` (the leaves a forward reads RAW in fp32 — norm
+    scales/stats etc.; each model names its own set, e.g.
+    clip.model.PRECAST_EXCLUDE).
+
+    Exact when every non-excluded consumer feeds the leaf through
+    policy.cast_compute first (bf16(w) is bitwise the value the uncast
+    program computes; cast_compute on an already-bf16 leaf is a no-op) —
+    asserted bitwise per model in tests. As jit INPUTS, fp32 weights
+    re-convert inside EVERY generation step; staged trees also halve the
+    frozen weights' HBM footprint."""
+    import jax
+
+    def cast(path, leaf):
+        if not hasattr(leaf, "dtype") or not jnp.issubdtype(leaf.dtype,
+                                                            jnp.floating):
+            return leaf
+        for p in path:
+            key = getattr(p, "key", None)
+            if isinstance(key, str) and any(
+                    key.startswith(e) for e in exclude_prefixes):
+                return leaf
+        return policy.cast_compute(leaf)
+
+    return jax.tree_util.tree_map_with_path(cast, params)

@@ -91,12 +91,9 @@ class Generator:
             self.clip_params, self.clip_cfg = convert_clip.load_checkpoint(
                 clip_weights)
         # stage the frozen tower for the compute dtype once (exact; jit
-        # inputs re-convert every step otherwise — clip_model.precast_params)
-        if self.policy.compute_dtype != jnp.float32:
-            _precast = lambda p: clip_model.precast_params(p, self.policy)
-            self.clip_params = (jax.eval_shape(_precast, self.clip_params)
-                                if self.abstract
-                                else jax.jit(_precast)(self.clip_params))
+        # inputs re-convert every step otherwise — core.dtypes.precast_params)
+        self.clip_params = self._precast(self.clip_params,
+                                         clip_model.PRECAST_EXCLUDE)
 
         # ---- model family (model_cfg overrides the default architecture,
         # e.g. TINY variants for tests / the multichip dryrun)
@@ -122,6 +119,18 @@ class Generator:
 
     # ------------------------------------------------------------ loading
 
+    def _precast(self, tree, exclude_prefixes: tuple = ()):
+        """Stage a FROZEN param tree for the compute dtype once (bitwise —
+        every consumer casts via policy.cast_compute, each model's raw-fp32
+        leaves excluded by prefix; see core.dtypes.precast_params). Also
+        halves the frozen weights' HBM footprint."""
+        from clip_glass_tpu.core.dtypes import precast_params
+        if tree is None or self.policy.compute_dtype == jnp.float32:
+            return tree
+        fn = lambda p: precast_params(p, self.policy, exclude_prefixes)
+        return (jax.eval_shape(fn, tree) if self.abstract
+                else jax.jit(fn)(tree))
+
     def _load_model(self, config):
         fam = config.model
         if _is_abstract(config.weights):
@@ -140,6 +149,11 @@ class Generator:
                     if config.use_discriminator else None)
             else:
                 self._load_stylegan2_checkpoint(config)
+            # G only: D's s2d down-composite folds compose FIR taps with the
+            # RAW fp32 weights and round once at the end (ops/s2d.py
+            # s2d_down_kernel) — pre-casting D would move the rounding
+            # before the composition (not bitwise), so D stays fp32 input.
+            self.g_params = self._precast(self.g_params, sg2.PRECAST_EXCLUDE)
             # fixed noise drawn once: deterministic fitness for the GA (the
             # reference redraws noise every call, see models/stylegan2 docstring)
             if getattr(self, "noise", None) is None:
@@ -176,6 +190,7 @@ class Generator:
                     f"BigGAN weights not found at {config.weights!r}; "
                     "provide the pytorch_model.bin/.npz path or "
                     "weights='random:<seed>'")
+            self.g_params = self._precast(self.g_params, bg.PRECAST_EXCLUDE)
             self.d_params = None
         elif fam == "gpt2":
             if _is_random(config.weights):
@@ -271,6 +286,7 @@ class Generator:
             self.d_params = (jax.eval_shape(
                 lambda k: sg2.discriminator_init(k, self.model_cfg), key)
                 if config.use_discriminator else None)
+            self.g_params = self._precast(self.g_params, sg2.PRECAST_EXCLUDE)
             # abstract noise mirrors the packed production layout
             self.noise = jax.eval_shape(
                 lambda ns: sg2.pack_noise(ns, self.model_cfg, self.policy),
@@ -279,8 +295,9 @@ class Generator:
         elif fam == "biggan":
             self.model_cfg = self._model_cfg_override or bg.CONFIGS.get(
                 f"biggan-deep-{config.resolution}", bg.BIGGAN_DEEP_256)
-            self.g_params = jax.eval_shape(
-                lambda k: bg.init(k, self.model_cfg), key)
+            self.g_params = self._precast(
+                jax.eval_shape(lambda k: bg.init(k, self.model_cfg), key),
+                bg.PRECAST_EXCLUDE)
             self.d_params = None
         elif fam == "gpt2":
             self.model_cfg = self._model_cfg_override or g2.GPT2_124M

@@ -77,6 +77,14 @@ CONFIGS = {"biggan-deep-128": BIGGAN_DEEP_128,
            "biggan-deep-256": BIGGAN_DEEP_256,
            "biggan-deep-512": BIGGAN_DEEP_512}
 
+# BatchNorm running statistics are interpolated and applied RAW in fp32
+# (_interp_stats/_cond_bn_apply below — the truncation-lerp'd stats drive
+# fp32 normalization math); every other weight is consumed through
+# policy.cast_compute, so staging a frozen tree for the compute dtype
+# (core.dtypes.precast_params) is bitwise-exact with stats excluded
+# (asserted in tests/test_biggan.py).
+PRECAST_EXCLUDE = ("running_",)
+
 
 def truncated_noise_sample(key, batch: int, dim_z: int = 128,
                            truncation: float = 1.0):

@@ -21,6 +21,7 @@ against the reference module within float tolerance.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -129,31 +130,19 @@ def init(key, cfg: CLIPConfig = VIT_B_32):
 
 # ---------------------------------------------------------------- forward
 
+# Leaves the forward reads RAW in fp32: LayerNorm scales/biases (layer_norm,
+# ops/norms.py:15-22) and logit_scale — the reference's fp16-weights/fp32-LN
+# split (reference clip/model.py:152-158). Pre-casting those would lose
+# precision; everything else is exact (see core.dtypes.precast_params).
+PRECAST_EXCLUDE = ("ln_", "bn", "logit_scale")
+
+
 def precast_params(params, policy: Policy):
-    """Pre-cast every leaf the forward consumes through policy.cast_compute
-    to the compute dtype, once. LayerNorm scales/biases and logit_scale are
-    EXCLUDED: layer_norm (ops/norms.py:15-22) reads them raw in fp32,
-    mirroring the reference's fp16-weights/fp32-LN split (reference
-    clip/model.py:152-158) — pre-casting those would lose precision.
-
-    Rationale: as jit inputs, fp32 weights re-convert inside EVERY
-    generation step (the 12-layer ViT stacks alone are ~0.5 ms/step of
-    convert ops in the flagship trace, DESIGN.md §9); cast_compute on an
-    already-bf16 leaf traces to a no-op. Exact for all consumers: bf16(w)
-    is bitwise the value the uncast program feeds the same ops."""
-    def cast(path, leaf):
-        if not hasattr(leaf, "dtype") or not jnp.issubdtype(leaf.dtype,
-                                                            jnp.floating):
-            return leaf
-        for p in path:
-            key = getattr(p, "key", None)
-            if isinstance(key, str) and (key.startswith("ln_")
-                                         or key.startswith("bn")
-                                         or key == "logit_scale"):
-                return leaf
-        return policy.cast_compute(leaf)
-
-    return jax.tree_util.tree_map_with_path(cast, params)
+    """Stage the frozen CLIP tower for the compute dtype once (exactness +
+    rationale: core.dtypes.precast_params; the 12-layer ViT stacks alone
+    were ~0.5 ms/step of in-program convert ops as fp32 jit inputs)."""
+    from clip_glass_tpu.core.dtypes import precast_params as _pp
+    return _pp(params, policy, PRECAST_EXCLUDE)
 
 
 def _block_forward(x, bp, n_head: int, mask: Optional[jnp.ndarray], policy: Policy):
@@ -174,6 +163,21 @@ def _block_forward(x, bp, n_head: int, mask: Optional[jnp.ndarray], policy: Poli
 
 
 def _transformer(x, blocks, n_head: int, mask, policy: Policy):
+    """12 pre-LN blocks over scan-stacked params, under lax.scan.
+
+    Measured probe (flagship trace, pop 16): the scan's `while` trace row
+    reads ~1.4 ms/step, but statically unrolling the loop
+    (CLIP_GLASS_VIT_UNROLL=1) leaves device time UNCHANGED (40.99 vs
+    40.93 ms) — the row is inclusive of small body ops, not loop
+    overhead; the tower is already at its latency/bandwidth floor. Scan
+    stays the default for the smaller compiled program."""
+    if os.environ.get("CLIP_GLASS_VIT_UNROLL") == "1":
+        n_blocks = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+        for i in range(n_blocks):
+            bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
+            x = _block_forward(x, bp, n_head, mask, policy)
+        return x
+
     def body(carry, bp):
         return _block_forward(carry, bp, n_head, mask, policy), None
 

@@ -109,6 +109,17 @@ class SG2Config:
 
 
 CONFIG_F = SG2Config()
+
+# Every GENERATOR forward consumer feeds weights through
+# policy.cast_compute (the s2d/s4d ToRGB folds are value-preserving
+# re-indexings), EXCEPT `truncate`, which lerps against dlatent_avg raw in
+# fp32 — staging a frozen G tree for the compute dtype
+# (core.dtypes.precast_params) is bitwise-exact with that one leaf
+# excluded (asserted in tests/test_s2d.py). The DISCRIMINATOR is NOT
+# precast-safe: its s2d down-composite folds (ops/s2d.s2d_down_kernel)
+# compose FIR taps with the raw fp32 weights and round once at the end;
+# pre-cast weights would move the rounding before the composition.
+PRECAST_EXCLUDE = ("dlatent_avg",)
 # tiny variant for tests / dryrun: 3 blocks -> 16px, slim channels
 TINY = SG2Config(latent_size=32, mapping_layers=2,
                  channels=(16, 16, 16), mbstd_group_size=2)
@@ -371,8 +382,12 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
                 if use_s2d:
                     # input_s2d=True is the s2d(res/2) -> s2d(res) transition:
                     # one lhs_dilation=2 conv at the physical level
+                    # weights enter the compute dtype at the model boundary
+                    # (same convention as the plain branch below: demod and
+                    # kernel folds see the cast weight)
                     x = s2d_ops.s2d_modulated_conv2d_up(
-                        x, lp["w"], style, demodulate=cfg.demodulate,
+                        x, policy.cast_compute(lp["w"]), style,
+                        demodulate=cfg.demodulate,
                         filter_taps=taps, eps=cfg.eps, input_s2d=x_s2d,
                         in_off=x_off)
                     x_s2d, x_off = True, 0
@@ -389,7 +404,8 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
                     # between opposite lattices folds to a [2,2] kernel
                     out_off = (0 if x_off else -1) if cfg.s2d_offsets else 0
                     x = s2d_ops.s2d_modulated_conv2d(
-                        x, lp["w"], style, demodulate=cfg.demodulate,
+                        x, policy.cast_compute(lp["w"]), style,
+                        demodulate=cfg.demodulate,
                         eps=cfg.eps, in_off=x_off, out_off=out_off)
                     x_off = out_off
                 else:
@@ -428,7 +444,9 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
                 else:  # enter s4d from the plain level below
                     if y_dom == "s2d":
                         y = s2d_ops.un_s2d_off(y, y_off)
-                    y = s2d_ops.s2d_to_s4d(s2d_ops.s2d_upsample2x(y, taps))
+                    # one fused stride-2 conv (plain -> s4d at 2x) instead
+                    # of the 4C-channel s2d intermediate + repack copies
+                    y = s2d_ops.plain_to_s4d_upsample2x(y, taps)
             elif x_s2d:
                 if y_dom == "s2d":  # s2d(res/2) -> s2d(res)
                     y = s2d_ops.un_s2d_off(y, y_off)
@@ -453,15 +471,18 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
             if style is not None:
                 xs = x * s2d_ops.tile_channels(style).astype(x.dtype)[
                     :, None, None, :]
-            t = s2d_ops.s4d_from_s2d_conv1x1(xs, rp["w"], in_off=x_off)
+            t = s2d_ops.s4d_from_s2d_conv1x1(
+                xs, policy.cast_compute(rp["w"]), in_off=x_off)
             tile, y_dom = 16, "s4d"
         elif x_s2d:
             if style is not None:
-                t = s2d_ops.s2d_modulated_conv2d(x, rp["w"], style,
-                                                 demodulate=False, eps=cfg.eps,
-                                                 in_off=x_off, out_off=x_off)
+                t = s2d_ops.s2d_modulated_conv2d(
+                    x, policy.cast_compute(rp["w"]), style,
+                    demodulate=False, eps=cfg.eps,
+                    in_off=x_off, out_off=x_off)
             else:
-                t = s2d_ops.s2d_conv2d(x, rp["w"], x_off, x_off)
+                t = s2d_ops.s2d_conv2d(x, policy.cast_compute(rp["w"]),
+                                       x_off, x_off)
             tile, y_dom, y_off = 4, "s2d", x_off
         else:
             if style is not None:

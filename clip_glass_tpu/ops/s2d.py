@@ -637,6 +637,42 @@ def s4d_upsample2x(y: jnp.ndarray, filter_taps=(1, 3, 3, 1),
     return _conv(y, K.astype(y.dtype), pad0=pad0, pad1=pad1, lhs_dilation=2)
 
 
+@lru_cache(maxsize=None)
+def _plain_to_s4d_up_taps(filter_taps: tuple, gain: float):
+    """1-D polyphase map M[t, pu] of the FIR 2x upsample read directly in
+    s4d phase coordinates: output pixel m = 4w + pu = 2v + rv (so
+    v = 2w + pu//2, rv = pu%2) reads plain input u = 2w + (pu//2 - 1 + dj)
+    with tap k1[2dj+1-rv], dj in {0,1} — the same per-phase 2-tap polyphase
+    as _upsample2x_s2d_taps, re-indexed onto stride-2 cells: a width-3
+    stride-2 window (t = pu//2 + dj, pad 1)."""
+    k1 = np.asarray(filter_taps, np.float64)
+    k1 = k1 / k1.sum() * np.sqrt(float(gain)) * 2.0
+    M = np.zeros((3, 4), np.float64)
+    for pu in range(4):
+        for dj in (0, 1):
+            M[pu // 2 + dj, pu] += float(k1[2 * dj + 1 - (pu % 2)])
+    return M
+
+
+def plain_to_s4d_upsample2x(y: jnp.ndarray, filter_taps=(1, 3, 3, 1),
+                            gain: float = 1.0) -> jnp.ndarray:
+    """upsample2x from a PLAIN [B, H, W, C] tensor straight into the s4d
+    domain at 2x physical resolution: [B, H/2, W/2, 16C]. Composes
+    s2d_to_s4d(s2d_upsample2x(y)) into ONE stride-2 [3,3,C,16C] conv — the
+    separate form costs a lane-starved 4C-channel intermediate plus its
+    repack copies (~1.6 ms/step at the 1024px flagship: trace rows
+    fusion.1564/copy.536/copy.537, DESIGN.md §9). Exact (tested vs the
+    composed path). Reference behavior: Upsample then ToRGB skip add,
+    stylegan2/modules.py:530-604 + models.py:969-1014."""
+    C = y.shape[-1]
+    M = jnp.asarray(_plain_to_s4d_up_taps(tuple(filter_taps), float(gain)),
+                    jnp.float32)
+    eye = jnp.eye(C, dtype=jnp.float32)
+    # K[t1, t2, c, (pu_row*4 + pu_col)*C + c]  (s4d phase-major layout)
+    K = jnp.einsum("tp,uq,cd->tucpqd", M, M, eye).reshape(3, 3, C, 16 * C)
+    return _conv(y, K.astype(y.dtype), stride=2, pad0=1, pad1=1)
+
+
 def s2d_from_s4d_conv1x1(y_s4d, w, out_off: int = 0):
     """1x1 conv [I -> O] from an s4d(0) tensor to an s2d tensor at lattice
     `out_off` (the D fromRGB entry): out row m = 2v'+rp+oo reads s4d cell

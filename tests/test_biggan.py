@@ -25,6 +25,30 @@ def tiny():
     return params
 
 
+def test_precast_params_exact(tiny):
+    """Staging the frozen tree to bf16 (precast_params with
+    bg.PRECAST_EXCLUDE) is bitwise for the bf16 forward: every weight is
+    consumed through policy.cast_compute; the BN running statistics stay
+    raw fp32 (they drive fp32 normalization math in _cond_bn_apply)."""
+    from clip_glass_tpu.core.dtypes import BF16, precast_params
+
+    p16 = precast_params(tiny, BF16, bg.PRECAST_EXCLUDE)
+    stats = [l for path, l in jax.tree_util.tree_leaves_with_path(p16)
+             if any(getattr(q, "key", "") in ("running_means", "running_vars")
+                    for q in path)]
+    assert stats and all(l.dtype == jnp.float32 for l in stats)
+    z = jnp.asarray(np.random.default_rng(2).normal(size=(4, 16)), jnp.float32)
+    cv = jax.nn.softmax(jnp.asarray(
+        np.random.default_rng(3).normal(size=(4, 10)), jnp.float32), axis=1)
+    for trunc in (1.0, 0.5):
+        a = jax.jit(lambda p, a_, b_: bg.apply(p, a_, b_, trunc, bg.TINY,
+                                               BF16))(tiny, z, cv)
+        b = jax.jit(lambda p, a_, b_: bg.apply(p, a_, b_, trunc, bg.TINY,
+                                               BF16))(p16, z, cv)
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
 def test_output_shape_and_range(tiny):
     z = jnp.asarray(np.random.default_rng(0).normal(size=(4, 16)), jnp.float32)
     cv = jax.nn.softmax(jnp.asarray(

@@ -282,6 +282,21 @@ def test_s4d_upsample2x(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_plain_to_s4d_upsample2x(rng):
+    """The fused stride-2 plain->s4d upsample conv == the composed
+    s2d_to_s4d(s2d_upsample2x(.)) path == the plain upsample re-laid, at
+    several sizes/channel counts (incl. the production C=3 RGB entry)."""
+    for Hh, C in [(8, 3), (16, 5), (32, 3)]:
+        y = r(rng, B, Hh, Hh, C)
+        a = S.s4d(upsample2x(y))
+        b = S.s2d_to_s4d(S.s2d_upsample2x(y))
+        c = S.plain_to_s4d_upsample2x(y)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c),
+                                   rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("out_off", [0, -1])
 def test_s2d_from_s4d_conv1x1(rng, out_off):
     y = r(rng, B, H, H, 3)
@@ -327,6 +342,31 @@ def test_synthesis_s2d_matches_plain(tiny_params, rng):
     b = sg2.generator_apply(gp, z, TINY_S2D, noise=noise, policy=FP32)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_precast_params_exact_sg2(tiny_params, rng):
+    """Staging the frozen G tree to the compute dtype (precast_params with
+    sg2.PRECAST_EXCLUDE) is bitwise for the bf16 forward — every generator
+    consumer casts via policy.cast_compute (the s2d/s4d ToRGB folds are
+    value-preserving re-indexings); dlatent_avg stays raw fp32. The
+    DISCRIMINATOR is intentionally not staged (its s2d down folds compose
+    FIR taps with raw fp32 weights, see sg2.PRECAST_EXCLUDE comment) —
+    asserted here by showing the D forward is NOT bitwise under precast."""
+    from clip_glass_tpu.core.dtypes import BF16, precast_params
+
+    gp, dp, noise = tiny_params
+    gp16 = precast_params(gp, BF16, sg2.PRECAST_EXCLUDE)
+    assert gp16["dlatent_avg"].dtype == jnp.float32
+    assert gp16["synthesis"]["const"].dtype == jnp.bfloat16
+    z = r(rng, 4, sg2.TINY.latent_size)
+    for cfg in (TINY_S2D, sg2.TINY,
+                dataclasses.replace(TINY_S2D, s2d_offsets=False)):
+        a = jax.jit(lambda p, zz: sg2.generator_apply(
+            p, zz, cfg, noise=noise, policy=BF16))(gp, z)
+        b = jax.jit(lambda p, zz: sg2.generator_apply(
+            p, zz, cfg, noise=noise, policy=BF16))(gp16, z)
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
 
 
 def test_pack_noise_matches_raw(tiny_params, rng):
