@@ -76,29 +76,37 @@ class Generator:
 
         # ---- CLIP (reference generator.py:16: clip.load("ViT-B/32", jit=False))
         self.abstract = _is_abstract(clip_weights) or _is_abstract(config.weights)
-        if self.abstract:
-            self.clip_cfg = clip_cfg or clip_model.VIT_B_32
-            self.clip_params = jax.eval_shape(
-                lambda k: clip_model.init(k, self.clip_cfg),
-                jax.random.PRNGKey(0))
-        elif _is_random(clip_weights):
-            self.clip_cfg = clip_cfg or clip_model.VIT_B_32
-            self.clip_params = jax.jit(
-                lambda k: clip_model.init(k, self.clip_cfg)
-            )(jax.random.PRNGKey(_random_seed(clip_weights)))
-        else:
-            from clip_glass_tpu.weights import convert_clip
-            self.clip_params, self.clip_cfg = convert_clip.load_checkpoint(
-                clip_weights)
-        # stage the frozen tower for the compute dtype once (exact; jit
-        # inputs re-convert every step otherwise — core.dtypes.precast_params)
-        self.clip_params = self._precast(self.clip_params,
-                                         clip_model.PRECAST_EXCLUDE)
-
-        # ---- model family (model_cfg overrides the default architecture,
-        # e.g. TINY variants for tests / the multichip dryrun)
         self._model_cfg_override = model_cfg
-        self._load_model(config)
+        if (not self.abstract and _is_random(clip_weights)
+                and _is_random(config.weights)
+                and config.model in ("stylegan2", "biggan", "gpt2")
+                and os.environ.get("CLIP_GLASS_FUSED_SETUP", "1") != "0"):
+            # fused fast path: the whole random-weight setup as ONE program
+            self._fused_random_setup(config, clip_weights, clip_cfg,
+                                     model_cfg)
+        else:
+            if self.abstract:
+                self.clip_cfg = clip_cfg or clip_model.VIT_B_32
+                self.clip_params = jax.eval_shape(
+                    lambda k: clip_model.init(k, self.clip_cfg),
+                    jax.random.PRNGKey(0))
+            elif _is_random(clip_weights):
+                self.clip_cfg = clip_cfg or clip_model.VIT_B_32
+                self.clip_params = jax.jit(
+                    lambda k: clip_model.init(k, self.clip_cfg)
+                )(jax.random.PRNGKey(_random_seed(clip_weights)))
+            else:
+                from clip_glass_tpu.weights import convert_clip
+                self.clip_params, self.clip_cfg = convert_clip.load_checkpoint(
+                    clip_weights)
+            # stage the frozen tower for the compute dtype once (exact; jit
+            # inputs re-convert every step — core.dtypes.precast_params)
+            self.clip_params = self._precast(self.clip_params,
+                                             clip_model.PRECAST_EXCLUDE)
+
+            # ---- model family (model_cfg overrides the default
+            # architecture, e.g. TINY variants for tests / the dryrun)
+            self._load_model(config)
 
         # ---- target features (computed once, reference generator.py:22-27)
         _once = jax.eval_shape if self.abstract else (lambda f, *a: jax.jit(f)(*a))
@@ -118,6 +126,64 @@ class Generator:
             self.text_features = None
 
     # ------------------------------------------------------------ loading
+
+    def _fused_random_setup(self, config, clip_weights, clip_cfg, model_cfg):
+        """Random-weight setup (the benchmark/CLI fast path) as ONE jitted
+        program: CLIP init + precast, model init + precast, D init, noise
+        draw + s2d pack. The piecewise path dispatches ~8 separate programs
+        whose sub-second compiles sit below the persistent-cache threshold
+        and so re-enter compilation every process, measured as the bulk of
+        the CLI's ~12-15 s hot `setup` phase; one program compiles once,
+        persists, and loads once. Key derivations replicate the piecewise
+        path exactly — identical trees, asserted bitwise in
+        tests/test_end_to_end.py (CLIP_GLASS_FUSED_SETUP=0 restores the
+        piecewise path)."""
+        from clip_glass_tpu.core.dtypes import precast_params
+        self.clip_cfg = clip_cfg or clip_model.VIT_B_32
+        fam = config.model
+        if fam == "stylegan2":
+            self.model_cfg = model_cfg or sg2.CONFIG_F
+        elif fam == "biggan":
+            self.model_cfg = model_cfg or bg.CONFIGS.get(
+                f"biggan-deep-{config.resolution}", bg.BIGGAN_DEEP_256)
+        else:
+            self.model_cfg = model_cfg or g2.GPT2_124M
+        mc, pol = self.model_cfg, self.policy
+        use_d = fam == "stylegan2" and config.use_discriminator
+        bf = pol.compute_dtype != jnp.float32
+
+        def setup(kc, km):
+            cp = clip_model.init(kc, self.clip_cfg)
+            if bf:
+                cp = clip_model.precast_params(cp, pol)
+            if fam == "stylegan2":
+                kg, kd = jax.random.split(km)
+                gp = sg2.generator_init(kg, mc)
+                if bf:
+                    gp = precast_params(gp, pol, sg2.PRECAST_EXCLUDE)
+                dp = sg2.discriminator_init(kd, mc) if use_d else None
+                ns = [jax.random.normal(k, s) for k, s in zip(
+                    jax.random.split(jax.random.PRNGKey(7),
+                                     len(mc.noise_shapes())),
+                    mc.noise_shapes())]
+                return cp, gp, dp, sg2.pack_noise(ns, mc, pol)
+            if fam == "biggan":
+                gp = bg.init(km, mc)
+                if bf:
+                    gp = precast_params(gp, pol, bg.PRECAST_EXCLUDE)
+                return cp, gp, None, None
+            # gpt2: no precast (its LN reads g/b raw; the decode loop
+            # already pre-casts its matmul weights outside the scan)
+            return cp, g2.init(km, mc), None, None
+
+        (self.clip_params, self.g_params, self.d_params,
+         self.noise) = jax.jit(setup)(
+            jax.random.PRNGKey(_random_seed(clip_weights)),
+            jax.random.PRNGKey(_random_seed(config.weights)))
+        if fam == "gpt2":
+            enc = get_gpt2_tokenizer()
+            self.init_tokens = np.asarray(enc.encode(self.config.init_text),
+                                          np.int32)
 
     def _precast(self, tree, exclude_prefixes: tuple = ()):
         """Stage a FROZEN param tree for the compute dtype once (bitwise —

@@ -34,6 +34,34 @@ def _tiny_sg2_problem(use_d: bool):
     return GenerationProblem(cfg, clip_cfg=TINY_CLIP, model_cfg=sg2.TINY)
 
 
+def test_fused_random_setup_matches_piecewise(monkeypatch):
+    """The one-program random-weight setup (Generator._fused_random_setup)
+    produces BITWISE the same clip/G/D/noise trees as the piecewise path
+    (CLIP_GLASS_FUSED_SETUP=0) — same key derivations, same precast/pack
+    staging — under the production bf16 policy."""
+    from clip_glass_tpu.fitness.generator import Generator
+
+    cfg = get_config("StyleGAN2_ffhq_d").replace(
+        pop_size=8, batch_size=4, dim_z=32, n_var=32,
+        weights="random:0", target="a red flower",
+        compute_dtype="bfloat16")
+    fused = Generator(cfg, clip_cfg=TINY_CLIP, model_cfg=sg2.TINY)
+    monkeypatch.setenv("CLIP_GLASS_FUSED_SETUP", "0")
+    piece = Generator(cfg, clip_cfg=TINY_CLIP, model_cfg=sg2.TINY)
+    for a, b in [(fused.clip_params, piece.clip_params),
+                 (fused.g_params, piece.g_params),
+                 (fused.d_params, piece.d_params),
+                 (fused.noise, piece.noise),
+                 (fused.text_features, piece.text_features)]:
+        la = jax.tree_util.tree_leaves_with_path(a)
+        lb = jax.tree_util.tree_leaves_with_path(b)
+        assert [p for p, _ in la] == [p for p, _ in lb]
+        for (_, xa), (_, xb) in zip(la, lb):
+            assert xa.dtype == xb.dtype
+            np.testing.assert_array_equal(np.asarray(xa, np.float32),
+                                          np.asarray(xb, np.float32))
+
+
 def test_stylegan2_single_objective_search():
     prob = _tiny_sg2_problem(use_d=False)
     algo = prob.make_algorithm()
