@@ -226,12 +226,12 @@ def main(argv=None) -> int:
     # tunnel — measured as most of the final-artifacts phase (~10-20 s of
     # the 200-gen CLI wallclock). Rows are padded by repetition and the
     # pad sliced off; reference behavior unchanged (run.py:115-125).
-    k = X_best.shape[0]
+    k = X_best.shape[0]  # always >= 1 (np.atleast_2d of a decision row)
     if k <= config.pop_size:
         pad = np.repeat(X_best[-1:], config.pop_size - k, axis=0)
-        Xp = np.concatenate([X_best, pad], axis=0) if k else X_best
-        generated = gen_fn(jax.numpy.asarray(Xp),
-                           problem.generator.bundle)[:k]
+        generated = gen_fn(jax.numpy.asarray(
+            np.concatenate([X_best, pad], axis=0)),
+            problem.generator.bundle)[:k]
     else:
         generated = problem.generator.generate(jax.numpy.asarray(X_best))
     problem.generator.save(generated,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 _DTYPES = {
@@ -62,8 +63,6 @@ def precast_params(params, policy: Policy, exclude_prefixes: tuple = ()):
     asserted bitwise per model in tests. As jit INPUTS, fp32 weights
     re-convert inside EVERY generation step; staged trees also halve the
     frozen weights' HBM footprint."""
-    import jax
-
     def cast(path, leaf):
         if not hasattr(leaf, "dtype") or not jnp.issubdtype(leaf.dtype,
                                                             jnp.floating):
