@@ -101,7 +101,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
-    from clip_glass_tpu.core.backend import enable_compile_cache
+    from clip_glass_tpu.core.backend import (enable_compile_cache,
+                                             pin_platform_from_env)
+    pin_platform_from_env()  # JAX_PLATFORMS=cpu etc. wins over plugin default
     enable_compile_cache()  # repeated searches skip the big XLA compiles
     from clip_glass_tpu.config import get_config
     from clip_glass_tpu.core.checkpoint import load_state, save_state

@@ -22,6 +22,24 @@ def supports_host_callbacks() -> bool:
     return "axon" not in version.lower()
 
 
+def pin_platform_from_env() -> None:
+    """Re-assert the JAX_PLATFORMS env var over the plugin-startup config.
+
+    The axon TPU plugin's interpreter-startup hook calls
+    `jax.config.update("jax_platforms", "axon,cpu")` AFTER the env var has
+    been read, so a platform pinned in a subprocess's environment (e.g.
+    JAX_PLATFORMS=cpu for a checkpoint-conversion run, which has no reason
+    to pay — or depend on — a TPU handshake) silently loses to the plugin.
+    Standalone scripts call this before first backend use; no-op when the
+    env var is unset.
+    """
+    import os
+
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        jax.config.update("jax_platforms", plats)
+
+
 def enable_compile_cache(cache_dir: str = "~/.cache/jax_bench_cache",
                          min_compile_secs: float = 1.0) -> None:
     """Point JAX's persistent compilation cache at `cache_dir` so repeated

@@ -1,9 +1,12 @@
-"""ctypes binding for the native BPE merge core (native/bpe_core.cpp).
+"""ctypes binding for the native BPE merge core (clip_glass_tpu/native/bpe_core.cpp).
 
-Builds the shared library on demand with g++ (cached next to the source),
-converts a tokenizer's string-keyed merge ranks into integer-id tables once,
-and exposes `NativeMerger.apply(symbol_ids) -> merged_ids`. Falls back
-cleanly when no compiler is available (`get_native_merger` returns None).
+Builds the shared library on demand with g++ (cached next to the source, or
+under ~/.cache/clip_glass_tpu when the package directory is read-only — e.g.
+a wheel installed into a system site-packages), converts a tokenizer's
+string-keyed merge ranks into integer-id tables once, and exposes
+`NativeMerger.apply(symbol_ids) -> merged_ids`. Falls back cleanly when no
+compiler is available (`get_native_merger` returns None).
+CLIP_GLASS_BPE_SRC overrides the source location.
 """
 
 from __future__ import annotations
@@ -15,25 +18,35 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native", "bpe_core.cpp")
-_LIB = os.path.join(os.path.dirname(_SRC), "libbpe_core.so")
+_SRC = os.environ.get("CLIP_GLASS_BPE_SRC") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "native", "bpe_core.cpp")
 
 _lib = None
+
+
+def _lib_path() -> str:
+    preferred = os.path.join(os.path.dirname(_SRC), "libbpe_core.so")
+    if os.path.exists(preferred) or os.access(os.path.dirname(_SRC), os.W_OK):
+        return preferred
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "clip_glass_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libbpe_core.so")
 
 
 def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or (os.path.exists(_SRC) and
-                                    os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+    lib_path = _lib_path()
+    if not os.path.exists(lib_path) or (os.path.exists(_SRC) and
+                                        os.path.getmtime(lib_path) < os.path.getmtime(_SRC)):
         try:
             subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                            "-o", _LIB, _SRC], check=True, capture_output=True)
+                            "-o", lib_path, _SRC], check=True, capture_output=True)
         except (OSError, subprocess.CalledProcessError):
             return None
-    lib = ctypes.CDLL(_LIB)
+    lib = ctypes.CDLL(lib_path)
     lib.bpe_create.restype = ctypes.c_void_p
     lib.bpe_create.argtypes = [ctypes.POINTER(ctypes.c_int32)] * 3 + [ctypes.c_int32]
     lib.bpe_free.argtypes = [ctypes.c_void_p]

@@ -25,6 +25,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from clip_glass_tpu.core.backend import pin_platform_from_env  # noqa: E402
+
+# Conversion is host-side work; honor an env-pinned platform (JAX_PLATFORMS=
+# cpu) instead of letting the TPU plugin's startup hook force a TPU handshake.
+pin_platform_from_env()
+
 
 def _save_cfg(path: str, cfg) -> None:
     """Sidecar config json so converted npz pytrees reload without shape

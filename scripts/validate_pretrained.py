@@ -34,6 +34,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(1, os.path.join(REPO, "tests"))  # reference_oracle helpers
 
+from clip_glass_tpu.core.backend import pin_platform_from_env  # noqa: E402
+
+# honor an env-pinned platform (JAX_PLATFORMS=cpu) over the TPU plugin's
+# startup config override — validation must run anywhere checkpoints live
+pin_platform_from_env()
+
 RESULTS = []  # (name, status, detail)
 
 
