@@ -102,7 +102,10 @@ def stylegan2_discriminator_flops(cfg) -> int:
 # ------------------------------------------------------------------ CLIP
 
 def clip_image_flops(cfg) -> int:
-    """Per-image ViT FLOPs (reference clip/model.py:196-235)."""
+    """Per-image visual-tower FLOPs: ViT (reference clip/model.py:196-235)
+    or ModifiedResNet when cfg.vision_kind == 'rn' (clip/model.py:94-149)."""
+    if getattr(cfg, "vision_kind", "vit") == "rn":
+        return _clip_rn_image_flops(cfg)
     p = cfg.vision_patch_size
     g = cfg.image_resolution // p
     seq = g * g + 1
@@ -110,6 +113,37 @@ def clip_image_flops(cfg) -> int:
     total = _conv(g, g, 3 * p * p, w, 1)                  # patch embed
     total += cfg.vision_layers * _transformer_layer(seq, w)
     total += _dense(w, cfg.embed_dim)                     # projection
+    return total
+
+
+def _clip_rn_image_flops(cfg) -> int:
+    """ModifiedResNet tower (models/clip/resnet.py; reference
+    clip/model.py:94-149): 3-conv stem, four bottleneck stages with
+    avgpool-before-stride, attention pooling head."""
+    w = cfg.vision_width
+    r = cfg.image_resolution // 2                     # stem conv1 stride 2
+    total = _conv(r, r, 3, w // 2, 3)                 # stem conv1
+    total += _conv(r, r, w // 2, w // 2, 3)           # stem conv2
+    total += _conv(r, r, w // 2, w, 3)                # stem conv3
+    r //= 2                                           # stem avgpool 2
+    inplanes = w
+    for blocks, planes, stride in zip(cfg.vision_layers,
+                                      (w, 2 * w, 4 * w, 8 * w), (1, 2, 2, 2)):
+        for b in range(blocks):
+            s = stride if b == 0 else 1
+            ro = r // s
+            total += _conv(r, r, inplanes, planes, 1)      # conv1 1x1
+            total += _conv(r, r, planes, planes, 3)        # conv2 3x3
+            total += _conv(ro, ro, planes, planes * 4, 1)  # conv3 (post-pool)
+            if s > 1 or inplanes != planes * 4:
+                total += _conv(ro, ro, inplanes, planes * 4, 1)  # downsample
+            inplanes = planes * 4
+            r = ro
+    # attention pooling: q/k/v/c projections + QK^T/AV over S+1 tokens
+    seq = r * r + 1
+    ed = inplanes  # embed_dim = width * 32
+    total += 3 * seq * _dense(ed, ed) + _dense(ed, cfg.embed_dim)
+    total += 2 * 2 * seq * seq * ed
     return total
 
 

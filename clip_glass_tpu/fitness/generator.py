@@ -65,6 +65,27 @@ def _random_seed(weights: str) -> int:
     return int(weights.split(":")[1]) if ":" in weights else 0
 
 
+def _read_cfg_sidecar(npz_path: str, cfg_cls):
+    """Load the `<stem>_cfg.json` sidecar scripts/convert_weights.py writes
+    next to a converted npz, as an instance of `cfg_cls`. Returns None when
+    no sidecar exists. JSON lists are restored to tuples (dataclass configs
+    hold tuples so they stay hashable for jit static args)."""
+    import dataclasses
+    import json
+
+    path = os.path.splitext(npz_path)[0] + "_cfg.json"
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+
+    def detuple(v):
+        return tuple(detuple(x) for x in v) if isinstance(v, list) else v
+
+    known = {f.name for f in dataclasses.fields(cfg_cls)}
+    return cfg_cls(**{k: detuple(v) for k, v in d.items() if k in known})
+
+
 class Generator:
     """Owns CLIP + the model params and exposes jittable fitness pieces."""
 
@@ -244,8 +265,10 @@ class Generator:
                     from clip_glass_tpu.core import pytree
                     self.g_params = pytree.restore_lists(
                         pytree.load_npz(config.weights))
-                    self.model_cfg = bg.CONFIGS[
-                        f"biggan-deep-{config.resolution}"]
+                    self.model_cfg = (
+                        self._model_cfg_override
+                        or _read_cfg_sidecar(config.weights, bg.BigGANConfig)
+                        or bg.CONFIGS[f"biggan-deep-{config.resolution}"])
                 else:
                     from clip_glass_tpu.weights import convert_biggan
                     self.g_params, self.model_cfg = \
@@ -272,11 +295,18 @@ class Generator:
                     self.g_params = pytree.load_npz(config.weights)
                     p = self.g_params
                     vocab, d = p["wte"].shape
-                    self.model_cfg = g2.GPT2Config(
-                        vocab_size=vocab, n_positions=p["wpe"].shape[0],
-                        n_embd=d,
-                        n_layer=p["blocks"]["ln_1"]["g"].shape[0],
-                        n_head=12 if d == 768 else max(2, d // 64))
+                    # prefer the `<stem>_cfg.json` sidecar written by
+                    # scripts/convert_weights.py — n_head is NOT recoverable
+                    # from tensor shapes; the head_dim-64 fallback below only
+                    # covers sidecar-less trees with the standard geometry
+                    self.model_cfg = (
+                        self._model_cfg_override
+                        or _read_cfg_sidecar(config.weights, g2.GPT2Config)
+                        or g2.GPT2Config(
+                            vocab_size=vocab, n_positions=p["wpe"].shape[0],
+                            n_embd=d,
+                            n_layer=p["blocks"]["ln_1"]["g"].shape[0],
+                            n_head=12 if d == 768 else max(2, d // 64)))
                 else:
                     from clip_glass_tpu.weights import convert_gpt2
                     self.g_params, self.model_cfg = \
@@ -291,25 +321,34 @@ class Generator:
     def _load_stylegan2_checkpoint(self, config):
         """Load converted StyleGAN2 weights from `config.weights` (a dir).
 
-        Two on-disk formats are accepted:
-        - `G.pth`/`D.pth` in the reference's `{name,kwargs,state_dict}`
-          torch format (reference stylegan2/models.py:160-209), converted
-          on the fly; or
-        - `G.npz`/`D.npz` pytrees + `*_cfg.json` sidecars as produced by
+        Two on-disk formats are accepted (the EMA generator `Gs` is
+        preferred over the training snapshot `G` when both exist, matching
+        the reference's use of the averaged generator):
+        - `Gs.pth`/`G.pth`/`D.pth` in the reference's
+          `{name,kwargs,state_dict}` torch format (reference
+          stylegan2/models.py:160-209), converted on the fly; or
+        - `Gs.npz`/`G.npz`/`D.npz` pytrees + `*_cfg.json` sidecars as produced by
           `scripts/convert_weights.py` (including from the NVIDIA TF
           pickles via `scripts/download_weights.sh`), with optional static
           `G_noise.npz` tensors (reference convert_from_tf.py:229-230).
         """
-        gp = os.path.join(config.weights, "G.pth")
-        gnpz = os.path.join(config.weights, "G.npz")
-        if os.path.exists(gp):
+        # prefer the EMA generator (Gs) like the reference — run.py evaluates
+        # the exponential-moving-average snapshot, not the training G
+        # (reference stylegan2/train.py Gs usage; convert_from_tf.py emits
+        # both and download-weights.sh ships Gs for use)
+        gp = next((p for p in (os.path.join(config.weights, "Gs.pth"),
+                               os.path.join(config.weights, "G.pth"))
+                   if os.path.exists(p)), None)
+        gstem = next((s for s in ("Gs", "G") if os.path.exists(
+            os.path.join(config.weights, f"{s}.npz"))), None)
+        if gp is not None:
             from clip_glass_tpu.weights import convert_stylegan2
             self.g_params, self.model_cfg, _ = convert_stylegan2.load_pth(gp)
             self.d_params = None
             if config.use_discriminator:
                 self.d_params, _, _ = convert_stylegan2.load_pth(
                     os.path.join(config.weights, "D.pth"))
-        elif os.path.exists(gnpz):
+        elif gstem is not None:
             import dataclasses
             import json
 
@@ -324,22 +363,24 @@ class Generator:
                     **{k: tuple(v) if isinstance(v, list) else v
                        for k, v in d.items() if k in known})
 
-            self.g_params = pytree.restore_lists(pytree.load_npz(gnpz))
-            self.model_cfg = read_cfg("G")
+            self.g_params = pytree.restore_lists(pytree.load_npz(
+                os.path.join(config.weights, f"{gstem}.npz")))
+            self.model_cfg = read_cfg(gstem)
             self.d_params = None
             if config.use_discriminator:
                 self.d_params = pytree.restore_lists(pytree.load_npz(
                     os.path.join(config.weights, "D.npz")))
-            npath = os.path.join(config.weights, "G_noise.npz")
+            npath = os.path.join(config.weights, f"{gstem}_noise.npz")
             if os.path.exists(npath):
                 with np.load(npath) as data:
                     self.noise = [jnp.asarray(data[k]) for k in
                                   sorted(data.files, key=int)]
         else:
             raise FileNotFoundError(
-                f"StyleGAN2 weights not found at {gp} (or G.npz); convert "
-                "the reference checkpoints (scripts/convert_weights.py, "
-                "scripts/download_weights.sh) or use weights='random:<seed>'")
+                f"StyleGAN2 weights not found under {config.weights!r} "
+                "(Gs/G .pth or .npz); convert the reference checkpoints "
+                "(scripts/convert_weights.py, scripts/download_weights.sh) "
+                "or use weights='random:<seed>'")
 
     def _load_model_abstract(self, config):
         """Shapes-only model init (see _is_abstract)."""

@@ -37,14 +37,18 @@ from clip_glass_tpu.ops.norms import layer_norm
 class CLIPConfig:
     embed_dim: int = 512
     image_resolution: int = 224
-    vision_layers: int = 12
+    # vit: int block count; rn: per-stage bottleneck counts, e.g. (3, 4, 6, 3)
+    vision_layers: object = 12
     vision_width: int = 768
-    vision_patch_size: int = 32
+    vision_patch_size: int = 32  # vit only; unused when vision_kind == "rn"
     context_length: int = 77
     vocab_size: int = 49408
     transformer_width: int = 512
     transformer_heads: int = 8
     transformer_layers: int = 12
+    # visual tower family: "vit" (patch transformer, reference
+    # clip/model.py:222-269) or "rn" (ModifiedResNet, clip/model.py:9-149)
+    vision_kind: str = "vit"
 
     @property
     def vision_heads(self) -> int:
@@ -54,8 +58,20 @@ class CLIPConfig:
     def grid(self) -> int:
         return self.image_resolution // self.vision_patch_size
 
+    def rn_config(self):
+        """The ModifiedResNet view of this config (vision_kind == 'rn')."""
+        from clip_glass_tpu.models.clip.resnet import RNConfig
+        return RNConfig(layers=tuple(self.vision_layers),
+                        output_dim=self.embed_dim,
+                        input_resolution=self.image_resolution,
+                        width=self.vision_width)
+
 
 VIT_B_32 = CLIPConfig()
+# RN50 (reference clip/clip.py:18-21 `_MODELS`; hyperparameters from
+# clip/model.py:371-379 state-dict inference on the official checkpoint)
+RN50 = CLIPConfig(embed_dim=1024, vision_layers=(3, 4, 6, 3),
+                  vision_width=64, vision_kind="rn")
 
 # tiny variant for CPU tests / dryrun
 TINY = CLIPConfig(embed_dim=64, image_resolution=32, vision_layers=2,
@@ -102,10 +118,13 @@ def init(key, cfg: CLIPConfig = VIT_B_32):
     kv, kt, ke, kp, kc, kpe, ktp = jax.random.split(key, 7)
     w, tw = cfg.vision_width, cfg.transformer_width
     scale_v, scale_t = w ** -0.5, tw ** -0.5
-    n_tok = cfg.grid ** 2 + 1
-    patch_dim = 3 * cfg.vision_patch_size ** 2
-    params = {
-        "visual": {
+    if cfg.vision_kind == "rn":
+        from clip_glass_tpu.models.clip import resnet
+        visual = resnet.init(kv, cfg.rn_config())
+    else:
+        n_tok = cfg.grid ** 2 + 1
+        patch_dim = 3 * cfg.vision_patch_size ** 2
+        visual = {
             "patch_embed": {"weight": scale_v * jax.random.normal(kc, (patch_dim, w))},
             "class_embedding": scale_v * jax.random.normal(ke, (w,)),
             "positional_embedding": scale_v * jax.random.normal(kp, (n_tok, w)),
@@ -114,7 +133,9 @@ def init(key, cfg: CLIPConfig = VIT_B_32):
                 _init_block(k, w) for k in jax.random.split(kv, cfg.vision_layers)]),
             "ln_post": {"scale": jnp.ones((w,)), "bias": jnp.zeros((w,))},
             "proj": scale_v * jax.random.normal(ktp, (w, cfg.embed_dim)),
-        },
+        }
+    params = {
+        "visual": visual,
         "text": {
             "token_embedding": scale_t * jax.random.normal(ke, (cfg.vocab_size, tw)),
             "positional_embedding": 0.01 * jax.random.normal(kpe, (cfg.context_length, tw)),
@@ -190,6 +211,9 @@ def encode_image(params, images, cfg: CLIPConfig = VIT_B_32,
     """images: [B, 3, H, W] floats (the fitness path feeds [0,1] images with
     no CLIP mean/std normalization, exactly like the reference —
     reference generator.py:45 resizes and calls encode_image directly)."""
+    if cfg.vision_kind == "rn":
+        from clip_glass_tpu.models.clip import resnet
+        return resnet.apply(params["visual"], images, cfg.rn_config(), policy)
     v = params["visual"]
     B = images.shape[0]
     P, G = cfg.vision_patch_size, cfg.grid

@@ -19,24 +19,38 @@ from clip_glass_tpu.models.clip.model import CLIPConfig
 
 
 def infer_config(sd: Dict[str, np.ndarray]) -> CLIPConfig:
-    """Infer hyperparameters from state-dict shapes (reference clip/model.py:363-381)."""
+    """Infer hyperparameters from state-dict shapes (reference clip/model.py:363-381).
+
+    `visual.positional_embedding` distinguishes the tower families: present
+    for ViT, absent for the ModifiedResNet (RN50 family), exactly the
+    reference's `build_model` dispatch (clip/model.py:365)."""
+    embed_dim = sd["text_projection"].shape[1]
+    context_length = sd["positional_embedding"].shape[0]
+    vocab_size = sd["token_embedding.weight"].shape[0]
+    tw = sd["ln_final.weight"].shape[0]
+    t_layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")})
+    text = dict(embed_dim=embed_dim, context_length=context_length,
+                vocab_size=vocab_size, transformer_width=tw,
+                transformer_heads=tw // 64, transformer_layers=t_layers)
+    if "visual.positional_embedding" not in sd:
+        # ModifiedResNet (reference clip/model.py:371-379)
+        counts = tuple(
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")})
+            for b in (1, 2, 3, 4))
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        spacial = int(round(
+            (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5))
+        return CLIPConfig(image_resolution=spacial * 32, vision_layers=counts,
+                          vision_width=vision_width, vision_kind="rn", **text)
     vision_width = sd["visual.conv1.weight"].shape[0]
     patch = sd["visual.conv1.weight"].shape[-1]
     n_tok = sd["visual.positional_embedding"].shape[0]
     grid = int(round((n_tok - 1) ** 0.5))
     vision_layers = len({k.split(".")[3] for k in sd
                         if k.startswith("visual.transformer.resblocks.")})
-    embed_dim = sd["text_projection"].shape[1]
-    context_length = sd["positional_embedding"].shape[0]
-    vocab_size = sd["token_embedding.weight"].shape[0]
-    tw = sd["ln_final.weight"].shape[0]
-    t_layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")})
     return CLIPConfig(
-        embed_dim=embed_dim, image_resolution=grid * patch,
-        vision_layers=vision_layers, vision_width=vision_width,
-        vision_patch_size=patch, context_length=context_length,
-        vocab_size=vocab_size, transformer_width=tw,
-        transformer_heads=tw // 64, transformer_layers=t_layers)
+        image_resolution=grid * patch, vision_layers=vision_layers,
+        vision_width=vision_width, vision_patch_size=patch, **text)
 
 
 def _np(x):
@@ -74,12 +88,14 @@ def _stack(blocks):
 def convert(sd: Dict[str, np.ndarray], cfg: CLIPConfig = None):
     """torch state dict (tensors or ndarrays) -> (params, cfg)."""
     cfg = cfg or infer_config({k: _np(v) for k, v in sd.items()})
-    w = cfg.vision_width
-    conv = _np(sd["visual.conv1.weight"])  # [w, 3, P, P]
-    patch_mat = conv.reshape(w, -1).T      # [3*P*P, w]
-
-    params = {
-        "visual": {
+    if cfg.vision_kind == "rn":
+        from clip_glass_tpu.weights import convert_clip_rn
+        visual = convert_clip_rn.convert(sd, cfg.rn_config(), prefix="visual.")
+    else:
+        w = cfg.vision_width
+        conv = _np(sd["visual.conv1.weight"])  # [w, 3, P, P]
+        patch_mat = conv.reshape(w, -1).T      # [3*P*P, w]
+        visual = {
             "patch_embed": {"weight": jnp.asarray(patch_mat)},
             "class_embedding": jnp.asarray(_np(sd["visual.class_embedding"])),
             "positional_embedding": jnp.asarray(_np(sd["visual.positional_embedding"])),
@@ -90,7 +106,10 @@ def convert(sd: Dict[str, np.ndarray], cfg: CLIPConfig = None):
             "ln_post": {"scale": jnp.asarray(_np(sd["visual.ln_post.weight"])),
                         "bias": jnp.asarray(_np(sd["visual.ln_post.bias"]))},
             "proj": jnp.asarray(_np(sd["visual.proj"])),
-        },
+        }
+
+    params = {
+        "visual": visual,
         "text": {
             "token_embedding": jnp.asarray(_np(sd["token_embedding.weight"])),
             "positional_embedding": jnp.asarray(_np(sd["positional_embedding"])),
@@ -115,11 +134,15 @@ def load_npz_checkpoint(path: str):
     from clip_glass_tpu.core import pytree
     from clip_glass_tpu.models.clip.model import CLIPConfig
 
-    params = pytree.load_npz(path)
+    # restore_lists: the RN visual tower stores its bottleneck stages as
+    # lists (layer1..layer4); a no-op on the ViT tree
+    params = pytree.restore_lists(pytree.load_npz(path))
     with open(os.path.splitext(path)[0] + "_cfg.json") as f:
         d = json.load(f)
     known = {f.name for f in dataclasses.fields(CLIPConfig)}
-    return params, CLIPConfig(**{k: v for k, v in d.items() if k in known})
+    return params, CLIPConfig(
+        **{k: tuple(v) if isinstance(v, list) else v
+           for k, v in d.items() if k in known})
 
 
 def load_checkpoint(path: str):

@@ -10,8 +10,8 @@ writer, train.py:620-635), and periodic checkpoints with latest-valid
 discovery.
 
 By default trains the TINY model on synthetic data for a handful of steps so
-it runs in seconds on CPU; point --data at an image folder (and drop
---tiny) for real training. Multi-chip: pass --mesh to batch-shard reals
+it runs in seconds on CPU; point --data at an image folder (and pass
+--no-tiny) for real training. Multi-chip: pass --mesh to batch-shard reals
 over all visible devices (GSPMD inserts the gradient all-reduces the
 reference did with NCCL, train.py:275-430).
 
@@ -41,7 +41,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iterations", type=int, default=4)
     ap.add_argument("--batch-size", type=int, default=4)
-    ap.add_argument("--tiny", action="store_true", default=True)
+    ap.add_argument("--tiny", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="TINY test model (default); --no-tiny trains the "
+                         "full-size CONFIG_F 1024px model")
     ap.add_argument("--data", default=None,
                     help="image folder (utils.data.ImageFolder); synthetic "
                          "noise images when omitted")

@@ -95,11 +95,13 @@ def main() -> int:
         from clip_glass_tpu.weights import convert_gpt2
         params, cfg = convert_gpt2.load_torch_checkpoint(args.src)
         pytree.save_npz(args.dst, params)
+        _save_cfg(os.path.splitext(args.dst)[0] + "_cfg.json", cfg)
         print(f"GPT-2 {cfg} -> {args.dst}")
     elif args.kind == "biggan":
         from clip_glass_tpu.weights import convert_biggan
         params, cfg = convert_biggan.load_torch_checkpoint(args.src, args.model_name)
         pytree.save_npz(args.dst, params)
+        _save_cfg(os.path.splitext(args.dst)[0] + "_cfg.json", cfg)
         print(f"BigGAN {args.model_name} -> {args.dst}")
     elif args.kind == "stylegan2":
         from clip_glass_tpu.weights import convert_stylegan2

@@ -76,7 +76,7 @@ clip_vit() {
     fetch "https://openaipublic.azureedge.net/clip/models/$CLIP_VIT_SHA/ViT-B-32.pt" \
         "$dest" "$CLIP_VIT_SHA"
     $PY "$REPO_DIR/scripts/convert_weights.py" clip "$dest" \
-        "$WEIGHTS_DIR/clip/ViT-B-32.npz"
+        "$WEIGHTS_DIR/clip/ViT-B-32.npz" || die "conversion failed: $dest"
 }
 
 clip_rn50() {
@@ -84,7 +84,7 @@ clip_rn50() {
     fetch "https://openaipublic.azureedge.net/clip/models/$CLIP_RN50_SHA/RN50.pt" \
         "$dest" "$CLIP_RN50_SHA"
     $PY "$REPO_DIR/scripts/convert_weights.py" clip "$dest" \
-        "$WEIGHTS_DIR/clip/RN50.npz"
+        "$WEIGHTS_DIR/clip/RN50.npz" || die "conversion failed: $dest"
 }
 
 gpt2() {
@@ -93,7 +93,7 @@ gpt2() {
     fetch "https://s3.amazonaws.com/models.huggingface.co/bert/gpt2-pytorch_model.bin" \
         "$dest"
     $PY "$REPO_DIR/scripts/convert_weights.py" gpt2 "$dest" \
-        "$WEIGHTS_DIR/gpt2/gpt2.npz"
+        "$WEIGHTS_DIR/gpt2/gpt2.npz" || die "conversion failed: $dest"
 }
 
 # download_stylegan2 <config>  (reference convert_from_tf.py:12-38 URL table)
@@ -103,7 +103,7 @@ download_stylegan2() {
     fetch "http://d36zk2xti64re0.cloudfront.net/stylegan2/networks/stylegan2-$config.pkl" \
         "$dest"
     $PY "$REPO_DIR/scripts/convert_weights.py" stylegan2-tf "$dest" \
-        "$WEIGHTS_DIR/stylegan2/$config"
+        "$WEIGHTS_DIR/stylegan2/$config" || die "conversion failed: $dest"
 }
 
 # download_biggan <model-name>  (HF hub layout, pytorch_pretrained_biggan)
@@ -113,7 +113,8 @@ download_biggan() {
     fetch "https://s3.amazonaws.com/models.huggingface.co/biggan/$name-pytorch_model.bin" \
         "$dest"
     $PY "$REPO_DIR/scripts/convert_weights.py" biggan "$dest" \
-        "$WEIGHTS_DIR/biggan/$name.npz" --model-name "$name"
+        "$WEIGHTS_DIR/biggan/$name.npz" --model-name "$name" \
+        || die "conversion failed: $dest"
 }
 
 [ "$#" -ge 1 ] || usage

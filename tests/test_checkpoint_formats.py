@@ -126,3 +126,115 @@ def test_generator_loads_converted_npz_dir(pth_dir, tmp_path):
             X, problem.generator.bundle))
     assert np.isfinite(F["pth"]).all()
     np.testing.assert_allclose(F["npz"], F["pth"], rtol=1e-5, atol=1e-5)
+
+def _convert_dir(pth_dir_tuple, tmp_path):
+    d, _, _ = pth_dir_tuple
+    out = tmp_path / "converted"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "scripts/convert_weights.py", "stylegan2",
+         str(d), str(out)],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-500:]
+    return out
+
+
+def test_generator_prefers_ema_gs_npz(pth_dir, tmp_path):
+    """When both Gs.npz (EMA) and G.npz (training snapshot) exist — the
+    layout scripts/download_weights.sh produces from the NVIDIA pickles —
+    the fitness generator must evaluate Gs, like the reference."""
+    import shutil
+
+    from clip_glass_tpu.config import get_config
+    from clip_glass_tpu.core import pytree
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+    from clip_glass_tpu.models.clip import model as clip_model
+
+    conv = _convert_dir(pth_dir, tmp_path)
+
+    # dir A: G-only.  dir B: same + a distinct "EMA" Gs (G scaled by 1.5).
+    # dir C: the scaled tree shipped AS G (the expected-answer control).
+    dir_a, dir_b, dir_c = (tmp_path / n for n in ("a", "b", "c"))
+    for dd in (dir_a, dir_b, dir_c):
+        shutil.copytree(conv, dd)
+    scaled = jax.tree.map(lambda x: 1.5 * x,
+                          pytree.load_npz(str(conv / "G.npz")))
+    pytree.save_npz(str(dir_b / "Gs.npz"), scaled)
+    shutil.copy(conv / "G_cfg.json", dir_b / "Gs_cfg.json")
+    pytree.save_npz(str(dir_c / "G.npz"), scaled)
+
+    base = get_config("StyleGAN2_ffhq_d").replace(
+        target="a face", pop_size=4, dim_z=32, n_var=32)
+    X = jnp.asarray(np.random.default_rng(3).normal(size=(4, 32)), jnp.float32)
+    F = {}
+    for label, wdir in (("a", dir_a), ("b", dir_b), ("c", dir_c)):
+        problem = GenerationProblem(base.replace(weights=str(wdir)),
+                                    clip_cfg=clip_model.TINY)
+        F[label] = np.asarray(problem.generator.eval_population(
+            X, problem.generator.bundle))
+    np.testing.assert_allclose(F["b"], F["c"], rtol=1e-6, atol=1e-6)
+    assert not np.allclose(F["b"], F["a"], rtol=1e-3, atol=1e-3)
+
+
+def test_gpt2_npz_cfg_sidecar_restores_n_head(tmp_path):
+    """n_head is not recoverable from tensor shapes; the loader must honor
+    the `<stem>_cfg.json` sidecar scripts/convert_weights.py writes (a
+    64-dim 4-head model defeats the head_dim-64 fallback heuristic)."""
+    import dataclasses
+    import json
+
+    from clip_glass_tpu.config import get_config
+    from clip_glass_tpu.core import pytree
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+    from clip_glass_tpu.models.clip import model as clip_model
+    from clip_glass_tpu.models.gpt2 import model as g2
+
+    cfg = g2.GPT2Config(vocab_size=50257, n_positions=128, n_embd=64,
+                        n_layer=2, n_head=4)
+    params = jax.jit(lambda k: g2.init(k, cfg))(jax.random.PRNGKey(0))
+    path = str(tmp_path / "gpt2.npz")
+    pytree.save_npz(path, params)
+    with open(str(tmp_path / "gpt2_cfg.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f)
+
+    dog = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "examples", "gpt2_images", "dog.jpeg")
+    base = get_config("GPT2").replace(
+        pop_size=4, batch_size=4, dim_z=6, n_var=6, max_tokens_len=5,
+        weights=path, target=dog, compute_dtype="float32")
+    problem = GenerationProblem(base, clip_cfg=clip_model.TINY)
+    assert problem.generator.model_cfg == cfg
+    assert problem.generator.model_cfg.n_head == 4  # heuristic would say 2
+
+
+def test_biggan_npz_cfg_sidecar_and_override(tmp_path):
+    """The BigGAN npz branch honors the cfg sidecar / explicit model_cfg
+    override instead of hardcoding the resolution-keyed registry entry
+    (which KeyErrors for non-standard resolutions)."""
+    import dataclasses
+    import json
+
+    from clip_glass_tpu.config import get_config
+    from clip_glass_tpu.core import pytree
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+    from clip_glass_tpu.models.biggan import model as bg
+    from clip_glass_tpu.models.clip import model as clip_model
+
+    params = jax.jit(lambda k: bg.init(k, bg.TINY))(jax.random.PRNGKey(0))
+    path = str(tmp_path / "biggan_tiny.npz")
+    pytree.save_npz(path, params)
+    with open(str(tmp_path / "biggan_tiny_cfg.json"), "w") as f:
+        json.dump(dataclasses.asdict(bg.TINY), f)
+
+    base = get_config("DeepMindBigGAN256").replace(
+        pop_size=4, batch_size=4, dim_z=16, num_classes=10, n_var=16 + 10,
+        weights=path, target="a red flower", compute_dtype="float32",
+        resolution=8)
+    # sidecar path (no override): previously KeyError 'biggan-deep-8'
+    problem = GenerationProblem(base, clip_cfg=clip_model.TINY)
+    assert problem.generator.model_cfg == bg.TINY
+    # explicit override wins
+    problem2 = GenerationProblem(base, clip_cfg=clip_model.TINY,
+                                 model_cfg=bg.TINY)
+    assert problem2.generator.model_cfg == bg.TINY
