@@ -43,6 +43,10 @@ def main():
               else "the face of a man with brown eyes")
     config = config.replace(target=target, weights="random:0", pop_size=pop,
                             compute_dtype="bfloat16")
+    # BENCH_QUANT=int8: opt-in int8 quantized fitness (ops/quant.py). The
+    # default bench stays bf16 — the reference-exact arithmetic.
+    if os.environ.get("BENCH_QUANT"):
+        config = config.replace(quantize=os.environ["BENCH_QUANT"])
     # population microbatching: pops beyond the single-chip activation
     # budget evaluate in on-device chunks (lax.map), like the reference's
     # minibatch loops (reference models.py:108-118, config.py:86)

@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "size (lax.map): decouples pop size from HBM, like "
                         "the reference's minibatch loops")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quantize", type=str, default="", choices=["", "int8"],
+                   help="int8: run the compute-heavy frozen-model convs on "
+                        "the MXU's 2x-rate int8 path (scales calibrated at "
+                        "init; approximate fitness, ops/quant.py). Artifact "
+                        "rendering stays full-precision")
     p.add_argument("--weights", type=str, default=None,
                    help="override config weights; 'random:<seed>' for random init")
     p.add_argument("--clip-weights", type=str, default=None,
@@ -125,6 +130,8 @@ def main(argv=None) -> int:
         config = config.replace(eval_microbatch=args.eval_microbatch)
     if args.weights:
         config = config.replace(weights=args.weights)
+    if args.quantize:
+        config = config.replace(quantize=args.quantize)
 
     clip_cfg = model_cfg = None
     if args.tiny:

@@ -70,6 +70,18 @@ class Config:
     # the whole population in one batch. Must divide pop_size; keep it a
     # multiple of 4 so D's minibatch-std groups are unchanged.
     eval_microbatch: Optional[int] = None
+    # Opt-in int8 quantized execution of the frozen-model convolutions
+    # (ops/quant.py): "" = off (exact bf16/fp32 reference arithmetic),
+    # "int8" = the compute-heavy convs run on the MXU's 2x-rate int8 path
+    # with per-output-channel weight scales and per-call-site activation
+    # scales calibrated once at init. An approximation — fitness fidelity
+    # measured by scripts/quant_fidelity.py.
+    quantize: str = ""
+    # quantize only convs with min(in_ch, out_ch) >= this (keeps the
+    # value-sensitive narrow RGB/skip paths in bf16)
+    quantize_min_ch: int = 64
+    # headroom multiplier on the calibrated activation absmax scales
+    quantize_margin: float = 1.25
 
     @property
     def problem_args(self) -> Dict[str, Any]:

@@ -146,7 +146,43 @@ class Generator:
                 self.clip_params, jnp.asarray(img))
             self.text_features = None
 
+        # ---- opt-in int8 quantized fitness (ops/quant.py)
+        self._quant_scales = None
+        if config.quantize and not self.abstract:
+            self._calibrate_quant()
+
     # ------------------------------------------------------------ loading
+
+    def _calibrate_quant(self):
+        """Calibrate the per-call-site activation scales for the int8
+        fitness mode (config.quantize="int8"): ONE bf16 evaluation of a
+        population drawn with the config's own sampling operator, recording
+        each eligible conv's input absmax in trace order (ops/quant.py).
+        The scales are host floats baked into the int8 programs as
+        constants — requantization stays pure elementwise and fuses."""
+        from clip_glass_tpu.evolve.algorithm import operators_for_config
+        from clip_glass_tpu.ops import quant
+
+        cfg = self.config
+        if cfg.quantize not in quant.INT8_MODES:
+            raise ValueError(f"unknown quantize mode {cfg.quantize!r}; "
+                             f"supported: {quant.INT8_MODES}")
+        if cfg.task == "img2txt":
+            return  # the GPT-2 decode path has no eligible convolutions
+        n = cfg.eval_microbatch or cfg.pop_size
+        sample = operators_for_config(cfg).sample
+
+        def calib(k, bundle):
+            ks, ke = jax.random.split(k)
+            X0 = sample(ks, n)
+            with quant.calibration(cfg.quantize_min_ch) as records:
+                F = self._eval_batch_raw(X0, bundle, ke)
+            return F, list(records)
+
+        _, recs = jax.jit(calib)(jax.random.PRNGKey(cfg.seed), self.bundle)
+        if recs:
+            self._quant_scales = (np.asarray(jax.device_get(recs), np.float64)
+                                  * cfg.quantize_margin)
 
     def _fused_random_setup(self, config, clip_weights, clip_cfg, model_cfg):
         """Random-weight setup (the benchmark/CLI fast path) as ONE jitted
@@ -674,7 +710,20 @@ class Generator:
         return (-sim[:, None]).astype(jnp.float32)
 
     def _eval_batch(self, X: jnp.ndarray, bundle, key) -> jnp.ndarray:
-        """Fitness of one on-device batch (no chunking)."""
+        """Fitness of one on-device batch (no chunking). With
+        config.quantize set, the batch evaluation traces inside an int8
+        execution scope (ops/quant.py): the compute-heavy frozen-model convs
+        run on the MXU's 2x-rate int8 path against the scales calibrated at
+        init. Artifact rendering (`generate`) intentionally stays bf16 —
+        saved images keep full precision; only the fitness is approximated."""
+        if self._quant_scales is not None:
+            from clip_glass_tpu.ops import quant
+            with quant.int8_scope(self._quant_scales,
+                                  self.config.quantize_min_ch):
+                return self._eval_batch_raw(X, bundle, key)
+        return self._eval_batch_raw(X, bundle, key)
+
+    def _eval_batch_raw(self, X: jnp.ndarray, bundle, key) -> jnp.ndarray:
         if self._s2d_active:
             return self._eval_stylegan2_s2d(X, bundle, key)
         generated = self.generate(X, bundle, key)

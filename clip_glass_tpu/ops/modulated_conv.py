@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from clip_glass_tpu.ops import quant
 from clip_glass_tpu.ops.upfirdn import fir, setup_filter_kernel
 
 _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
@@ -52,11 +53,17 @@ def _conv(x, w, *, stride=1, pad0=0, pad1=0, lhs_dilation=1):
         # different fused producers measure up to 2x apart, so probe the
         # input side too)
         (x,) = lax.optimization_barrier((x,))
-    y = lax.conv_general_dilated(
-        x, w, window_strides=(stride, stride),
-        padding=((pad0, pad1), (pad0, pad1)),
-        lhs_dilation=(lhs_dilation, lhs_dilation),
-        dimension_numbers=_DN)
+
+    def run(xx, ww, pt):
+        return lax.conv_general_dilated(
+            xx, ww, window_strides=(stride, stride),
+            padding=((pad0, pad1), (pad0, pad1)),
+            lhs_dilation=(lhs_dilation, lhs_dilation),
+            dimension_numbers=_DN, preferred_element_type=pt)
+
+    # opt-in int8 execution (ops/quant.py): a pass-through unless an ambient
+    # quantization scope is active during tracing
+    y = quant.conv_hook(x, w, run)
     if _CONV_BARRIER:
         # experiment knob: keep the conv OUT of generic elementwise output
         # fusions (measurement: CLIP_GLASS_CONV_BARRIER=1)
