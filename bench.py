@@ -47,6 +47,9 @@ def main():
     # default bench stays bf16 — the reference-exact arithmetic.
     if os.environ.get("BENCH_QUANT"):
         config = config.replace(quantize=os.environ["BENCH_QUANT"])
+        if os.environ.get("BENCH_QUANT_MIN_CH"):
+            config = config.replace(
+                quantize_min_ch=int(os.environ["BENCH_QUANT_MIN_CH"]))
     # population microbatching: pops beyond the single-chip activation
     # budget evaluate in on-device chunks (lax.map), like the reference's
     # minibatch loops (reference models.py:108-118, config.py:86)
