@@ -165,3 +165,30 @@ def test_int8_full_ga_step():
     state = step(state)
     assert np.isfinite(np.asarray(state.F)).all()
     assert int(state.gen) == 1
+
+def test_int8_full_ga_step_sharded_equals_single_device():
+    """The int8 scope is ambient trace-time state; under pjit on the
+    8-virtual-device mesh the batch evaluation traces once through the same
+    python path, so the quantized sharded step must reproduce the quantized
+    single-device trajectory exactly like the bf16 one does
+    (tests/test_parallel.py)."""
+    from clip_glass_tpu.parallel.mesh import (
+        make_mesh, replicated_sharding, shard_state)
+
+    jax.clear_caches()  # bound the live-executable population (conftest note)
+    pb, _ = _tiny_problem("int8")
+    algo = pb.make_algorithm()
+    state0 = algo.init(jax.random.PRNGKey(11))
+    step = jax.jit(algo.step_fn())
+
+    def run(state, ctx, n=2):
+        for _ in range(n):
+            state = step(state, ctx)
+        return np.asarray(state.X), np.asarray(state.F)
+
+    want_X, want_F = run(state0, algo.ctx)
+    mesh = make_mesh()
+    ctx = jax.device_put(algo.ctx, replicated_sharding(mesh))
+    got_X, got_F = run(shard_state(state0, mesh), ctx)
+    np.testing.assert_allclose(got_X, want_X, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got_F, want_F, rtol=1e-5, atol=1e-6)
