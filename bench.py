@@ -63,7 +63,19 @@ def main():
     elif safe and pop > safe:
         config = config.replace(eval_microbatch=safe)
     problem = GenerationProblem(config)
-    algorithm = problem.make_algorithm()
+    # BENCH_TARGETS=K: run K independent searches batched into one program
+    # (evolve/batched.py, one target per search) and report aggregate
+    # candidates/s — the multi-tenant serving configuration
+    n_targets = int(os.environ.get("BENCH_TARGETS", "1"))
+    if n_targets > 1:
+        from clip_glass_tpu.evolve.batched import make_batched
+        if config.task == "img2txt":
+            targets = [target] * n_targets
+        else:
+            targets = [f"{target}, variant {i}" for i in range(n_targets)]
+        algorithm = make_batched(problem, targets)
+    else:
+        algorithm = problem.make_algorithm()
 
     key = jax.random.PRNGKey(0)
     state = algorithm.init(key)
@@ -136,7 +148,7 @@ def main():
         jax.profiler.stop_trace()
 
     n_chips = jax.device_count()
-    cand_per_sec_per_chip = pop * gens / dt / n_chips
+    cand_per_sec_per_chip = pop * n_targets * gens / dt / n_chips
 
     baseline = None
     bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -147,6 +159,8 @@ def main():
 
     desc = (f"{name}, pop={pop}, full "
             f"{'NSGA-II' if config.algorithm == 'nsga2' else 'GA'} generations")
+    if n_targets > 1:
+        desc += f", {n_targets} searches batched"
     out = {
         "metric": f"candidates_scored_per_sec_per_chip ({desc})",
         "value": round(cand_per_sec_per_chip, 4),

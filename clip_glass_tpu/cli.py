@@ -33,8 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--generations", type=int, default=500)
     p.add_argument("--save-each", type=int, default=50)
     p.add_argument("--tmp-folder", type=str, default="./tmp")
-    p.add_argument("--target", type=str,
-                   default="a wolf at night with the moon in the background")
+    p.add_argument("--target", type=str, action="append", default=None,
+                   help="search target (text prompt for txt2img, image path "
+                        "for img2txt). May be given MULTIPLE times: K targets "
+                        "run as K independent searches batched into one "
+                        "compiled program (evolve/batched.py), artifacts under "
+                        "<tmp-folder>/search-<i>/. Default: 'a wolf at night "
+                        "with the moon in the background' (reference run.py:22)")
     p.add_argument("--pop-size", type=int, default=None)
     p.add_argument("--eval-microbatch", type=int, default=None,
                    help="evaluate the population in on-device chunks of this "
@@ -98,12 +103,66 @@ def decode_latents_npz(config, X: np.ndarray):
     return {"z": np.asarray(L.decode_gpt2(Xj)[0])}
 
 
+def _final_artifacts(problem, config, res, folder, gen_fn):
+    """Per-search result artifacts (reference run.py:79-125): genetic_result
+    pickle, Pareto scatter F.jpg (2-obj), ls_result latents, decision ->
+    output.<jpg|txt>."""
+    import jax
+    from clip_glass_tpu.evolve.decision import pick
+    from clip_glass_tpu.evolve.nds import non_dominated_rank
+    from clip_glass_tpu.utils.plotting import save_scatter
+
+    ext = "jpg" if config.task == "txt2img" else "txt"
+    if config.n_obj == 2:
+        rank = np.asarray(non_dominated_rank(jax.numpy.asarray(res.pop_F)))
+        opt = rank == 0
+        res_X, res_F = res.pop_X[opt], res.pop_F[opt]
+    else:
+        best = res.pop_F[:, 0].argmin()
+        res_X, res_F = res.pop_X[best], res.pop_F[best]
+
+    with open(os.path.join(folder, "genetic_result"), "wb") as f:
+        pickle.dump(dict(X=res_X, F=res_F, G=res.G, CV=res.CV), f)
+
+    if config.n_obj == 2:
+        save_scatter(res_F, os.path.join(folder, "F.jpg"),
+                     labels=("similarity", "discriminator"))
+
+    if config.n_obj == 1:
+        pop_sorted = res.pop_X[np.argsort(res.pop_F[:, 0])]
+        np.savez(os.path.join(folder, "ls_result"),
+                 **decode_latents_npz(config, pop_sorted))
+        X_best = np.atleast_2d(res_X)
+    else:
+        np.savez(os.path.join(folder, "ls_result"),
+                 **decode_latents_npz(config, res.pop_X))
+        idx = pick(res_F, (0, 1))
+        X_best = np.atleast_2d(np.atleast_2d(res_X)[idx])
+
+    # Render the decision through the WARM pop-sized executable (gen_fn is
+    # compiled by the final dump callback): an unjitted batch-k generate
+    # would eagerly re-dispatch the whole synthesis op-by-op over the
+    # tunnel — measured as most of the final-artifacts phase (~10-20 s of
+    # the 200-gen CLI wallclock). Rows are padded by repetition and the
+    # pad sliced off; reference behavior unchanged (run.py:115-125).
+    k = X_best.shape[0]  # always >= 1 (np.atleast_2d of a decision row)
+    if k <= config.pop_size:
+        pad = np.repeat(X_best[-1:], config.pop_size - k, axis=0)
+        generated = gen_fn(jax.numpy.asarray(
+            np.concatenate([X_best, pad], axis=0)),
+            problem.generator.bundle)[:k]
+    else:
+        generated = problem.generator.generate(jax.numpy.asarray(X_best))
+    problem.generator.save(generated, os.path.join(folder, f"output.{ext}"))
+
+
 def main(argv=None) -> int:
     import time
     t0 = time.perf_counter()
     phases = {}  # wallclock breakdown (printed when --verbose)
 
     args = build_parser().parse_args(argv)
+    targets = args.target or ["a wolf at night with the moon in the background"]
 
     import jax
     from clip_glass_tpu.core.backend import (enable_compile_cache,
@@ -113,16 +172,13 @@ def main(argv=None) -> int:
     from clip_glass_tpu.config import get_config
     from clip_glass_tpu.core.checkpoint import load_state, save_state
     from clip_glass_tpu.evolve.algorithm import minimize
-    from clip_glass_tpu.evolve.decision import pick
-    from clip_glass_tpu.evolve.nds import non_dominated_rank
     from clip_glass_tpu.fitness.problem import GenerationProblem
     from clip_glass_tpu.parallel import make_mesh, shard_state
-    from clip_glass_tpu.utils.plotting import save_scatter
 
     phases["imports"] = time.perf_counter() - t0
 
     config = get_config(args.config).replace(
-        target=args.target, tmp_folder=args.tmp_folder, seed=args.seed,
+        target=targets[0], tmp_folder=args.tmp_folder, seed=args.seed,
         generations=args.generations, save_each=args.save_each)
     if args.pop_size:
         config = config.replace(pop_size=args.pop_size)
@@ -146,7 +202,21 @@ def main(argv=None) -> int:
                         else "random:0")
     problem = GenerationProblem(config, clip_weights=clip_weights,
                                 clip_cfg=clip_cfg, model_cfg=model_cfg)
-    algorithm = problem.make_algorithm()
+    n_search = len(targets)
+    if n_search > 1:
+        # K searches (one per --target) batched into ONE compiled program
+        from clip_glass_tpu.evolve.batched import (make_batched,
+                                                   minimize_batched)
+        algorithm = make_batched(problem, targets)
+        folders = [os.path.join(config.tmp_folder, f"search-{i:02d}")
+                   for i in range(n_search)]
+        for f, t in zip(folders, targets):
+            os.makedirs(f, exist_ok=True)
+            with open(os.path.join(f, "target.txt"), "w") as fh:
+                fh.write(t)
+    else:
+        algorithm = problem.make_algorithm()
+        folders = [config.tmp_folder]
     ext = "jpg" if config.task == "txt2img" else "txt"
 
     phases["setup"] = time.perf_counter() - t0 - sum(phases.values())
@@ -154,7 +224,7 @@ def main(argv=None) -> int:
     mesh = make_mesh() if args.mesh else None
     gen_fn = jax.jit(lambda X, ctx: problem.generator.generate(X, ctx))
     from clip_glass_tpu.core.profiling import GenerationMeter, device_trace
-    meter = GenerationMeter(config.pop_size)
+    meter = GenerationMeter(config.pop_size * n_search)
 
     # artifact dumps run on a single worker thread: the device->host image
     # pull + JPEG encode (the expensive part of each periodic dump) overlaps
@@ -163,16 +233,24 @@ def main(argv=None) -> int:
     saver = ThreadPoolExecutor(max_workers=1)
     pending = []
 
-    def save_callback(state):
-        gen = int(state.gen)
-        X = np.asarray(state.X)
+    def _dump_one(X, F, gen, folder):
         if config.n_obj == 1:  # sorted by fitness (reference run.py:36-38)
-            X = X[np.argsort(np.asarray(state.F)[:, 0])]
+            X = X[np.argsort(F[:, 0])]
         generated = gen_fn(jax.numpy.asarray(X), problem.generator.bundle)
         name = (f"genetic-it-{gen}.{ext}" if gen < config.generations
                 else f"genetic-it-final.{ext}")
         pending.append(saver.submit(problem.generator.save, generated,
-                                    os.path.join(config.tmp_folder, name)))
+                                    os.path.join(folder, name)))
+
+    def save_callback(state):
+        gen = int(np.asarray(state.gen).ravel()[0])
+        X = np.asarray(state.X)
+        F = np.asarray(state.F)
+        if n_search > 1:
+            for i, folder in enumerate(folders):
+                _dump_one(X[i], F[i], gen, folder)
+        else:
+            _dump_one(X, F, gen, config.tmp_folder)
         save_state(state, config.tmp_folder, config.name)
         # the first chunk's wall time is dominated by XLA compilation:
         # rebaseline there so reported rates are steady-state
@@ -183,6 +261,11 @@ def main(argv=None) -> int:
                   f"({meter.candidates_per_sec:.1f} candidates/s)")
 
     state = load_state(config.tmp_folder) if args.resume else None
+    if state is not None and (
+            (state.X.ndim == 3) != (n_search > 1)
+            or (state.X.ndim == 3 and state.X.shape[0] != n_search)):
+        print("checkpoint does not match the --target count; starting fresh")
+        state = None
     if state is None and args.resume:
         print("no checkpoint found; starting fresh")
     if state is None:
@@ -190,61 +273,30 @@ def main(argv=None) -> int:
     if mesh is not None:
         state = shard_state(state, mesh)
 
-    remaining = config.generations - int(state.gen)
+    gen0 = int(np.asarray(jax.device_get(state.gen)).ravel()[0])
+    remaining = config.generations - gen0
     phases["init(gen0)"] = time.perf_counter() - t0 - sum(phases.values())
     with device_trace(args.profile):
-        res = minimize(algorithm, n_gen=max(remaining, 0),
-                       key=jax.random.PRNGKey(config.seed),
-                       callback=save_callback, save_each=config.save_each,
-                       verbose=args.verbose, state=state)
+        if n_search > 1:
+            results = minimize_batched(
+                algorithm, n_gen=max(remaining, 0),
+                key=jax.random.PRNGKey(config.seed),
+                callback=save_callback, save_each=config.save_each,
+                verbose=args.verbose, state=state)
+        else:
+            results = [minimize(algorithm, n_gen=max(remaining, 0),
+                                key=jax.random.PRNGKey(config.seed),
+                                callback=save_callback,
+                                save_each=config.save_each,
+                                verbose=args.verbose, state=state)]
     for fut in pending:  # surface any artifact-write error
         fut.result()
     saver.shutdown()
     phases["search+dumps"] = time.perf_counter() - t0 - sum(phases.values())
 
-    # ---- final artifacts (reference run.py:79-125)
-    if config.n_obj == 2:
-        rank = np.asarray(non_dominated_rank(jax.numpy.asarray(res.pop_F)))
-        opt = rank == 0
-        res_X, res_F = res.pop_X[opt], res.pop_F[opt]
-    else:
-        best = res.pop_F[:, 0].argmin()
-        res_X, res_F = res.pop_X[best], res.pop_F[best]
-
-    with open(os.path.join(config.tmp_folder, "genetic_result"), "wb") as f:
-        pickle.dump(dict(X=res_X, F=res_F, G=res.G, CV=res.CV), f)
-
-    if config.n_obj == 2:
-        save_scatter(res_F, os.path.join(config.tmp_folder, "F.jpg"),
-                     labels=("similarity", "discriminator"))
-
-    if config.n_obj == 1:
-        pop_sorted = res.pop_X[np.argsort(res.pop_F[:, 0])]
-        np.savez(os.path.join(config.tmp_folder, "ls_result"),
-                 **decode_latents_npz(config, pop_sorted))
-        X_best = np.atleast_2d(res_X)
-    else:
-        np.savez(os.path.join(config.tmp_folder, "ls_result"),
-                 **decode_latents_npz(config, res.pop_X))
-        idx = pick(res_F, (0, 1))
-        X_best = np.atleast_2d(np.atleast_2d(res_X)[idx])
-
-    # Render the decision through the WARM pop-sized executable (gen_fn is
-    # compiled by the final dump callback): an unjitted batch-k generate
-    # would eagerly re-dispatch the whole synthesis op-by-op over the
-    # tunnel — measured as most of the final-artifacts phase (~10-20 s of
-    # the 200-gen CLI wallclock). Rows are padded by repetition and the
-    # pad sliced off; reference behavior unchanged (run.py:115-125).
-    k = X_best.shape[0]  # always >= 1 (np.atleast_2d of a decision row)
-    if k <= config.pop_size:
-        pad = np.repeat(X_best[-1:], config.pop_size - k, axis=0)
-        generated = gen_fn(jax.numpy.asarray(
-            np.concatenate([X_best, pad], axis=0)),
-            problem.generator.bundle)[:k]
-    else:
-        generated = problem.generator.generate(jax.numpy.asarray(X_best))
-    problem.generator.save(generated,
-                           os.path.join(config.tmp_folder, f"output.{ext}"))
+    # ---- final artifacts (reference run.py:79-125), one set per search
+    for res, folder in zip(results, folders):
+        _final_artifacts(problem, config, res, folder, gen_fn)
     phases["final_artifacts"] = time.perf_counter() - t0 - sum(phases.values())
     if args.verbose:
         total = time.perf_counter() - t0

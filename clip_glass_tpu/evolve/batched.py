@@ -1,0 +1,227 @@
+"""Multi-search batching: K independent searches, one compiled program.
+
+The reference serves ONE target per process (reference run.py:22 — a single
+`--target` string drives the whole run), so throughput at its pinned
+population sizes (16 for StyleGAN2, 32 for BigGAN512 — reference
+config.py:85,65) is capped by how well a pop-sized batch feeds the MXU.
+This module runs K searches — same config/weights, DIFFERENT targets — as
+one `jax.vmap`-batched generation step: the convolutions execute at batch
+K*pop (the measured-throughput sweet spot: the flagship per-candidate rate
+at batch 64 is ~6% (bf16) / ~9% (int8) above batch 16), while every search
+keeps the reference's per-search semantics bitwise:
+
+- selection / crossover / mutation / dedup / survival vmap per-search
+  (fixed shapes, no cross-search interaction by construction);
+- D's minibatch-std groups see only their own search's batch (vmap
+  semantics), exactly like K separate processes;
+- only the `target` leaf of the parameter bundle is batched ([K, 1, D]
+  CLIP features); weights/noise stay unbatched — no memory duplication.
+
+Scale-out: the SEARCH axis is embarrassingly parallel (survival is
+per-search), so sharding state along it (parallel.shard_state places axis
+0 on the mesh's data axis) runs K searches across chips with zero
+cross-chip collectives — the serving layout. Population sharding within a
+search (test_parallel.py) composes on a 2-D mesh if pop is also large.
+
+img2txt (GPT-2) batches through the same API via a per-search host loop
+(`host_eval` fallback): the BPE round trip is host code that cannot vmap;
+captioning K images still shares one weights bundle and one process.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from clip_glass_tpu.evolve.algorithm import Algorithm, GAState, Result
+from clip_glass_tpu.evolve.nds import non_dominated_rank
+
+
+def batched_targets_bundle(problem, targets) -> dict:
+    """The parameter bundle with the `target` leaf stacked to [K, 1, D]
+    (one CLIP feature row per search; everything else shared). Target
+    features are computed in ONE encode call over all K prompts/images
+    (reference generator.py:22-27 computes its single target once)."""
+    gen = problem.generator
+    from clip_glass_tpu.models.clip import model as clip_model
+    if gen.config.task == "txt2img":
+        from clip_glass_tpu.tokenizers import tokenize
+        toks = jnp.asarray(tokenize(list(targets)))
+        feats = jax.jit(
+            lambda p, t: clip_model.encode_text(p, t, gen.clip_cfg, gen.policy)
+        )(gen.clip_params, toks)                      # [K, D]
+    else:
+        from PIL import Image
+        from clip_glass_tpu.ops.resize import clip_preprocess_pil
+        imgs = jnp.concatenate([
+            jnp.asarray(clip_preprocess_pil(Image.open(t),
+                                            gen.clip_cfg.image_resolution))
+            for t in targets], axis=0)                # [K, 3, R, R]
+        feats = jax.jit(
+            lambda p, im: clip_model.encode_image(p, im, gen.clip_cfg, gen.policy)
+        )(gen.clip_params, imgs)
+    bundle = dict(gen.bundle)
+    bundle["target"] = feats[:, None, :]              # [K, 1, D]
+    return bundle
+
+
+def _ctx_axes(ctx) -> dict:
+    """vmap in_axes pytree-prefix for the batched bundle: only `target`
+    carries the search axis."""
+    return {k: (0 if k == "target" else None) for k in ctx}
+
+
+@dataclasses.dataclass
+class BatchedAlgorithm:
+    """K-search batched counterpart of `Algorithm` (same driver surface:
+    init / step_fn / _jit_chunk / ctx / pop_size / algorithm). State leaves
+    carry a leading search axis: X [K, pop, n_var], F [K, pop, n_obj],
+    key [K, 2], gen [K]."""
+    base: Algorithm        # single-search algorithm (ops/eval_fn/pop_size)
+    ctx: dict              # batched bundle (target leaf [K, 1, D])
+    n_search: int
+
+    # driver-surface passthroughs
+    @property
+    def pop_size(self) -> int:
+        return self.base.pop_size
+
+    @property
+    def algorithm(self) -> str:
+        return self.base.algorithm
+
+    @property
+    def host_eval(self) -> bool:
+        return self.base.host_eval
+
+    def _axes(self):
+        return _ctx_axes(self.ctx)
+
+    def init(self, key) -> GAState:
+        """Per-search keys derive from ONE split of `key` — search i of the
+        batch reproduces an independent run seeded with split(key, K)[i]."""
+        algo = self.base
+        keys = jax.random.split(key, self.n_search)
+        if self.host_eval:
+            states = [dataclasses.replace(algo, ctx=self._slice_ctx(i))
+                      .init(keys[i]) for i in range(self.n_search)]
+            return _stack_states(states)
+
+        @jax.jit
+        def _binit(keys, ctx):
+            def one(k, c):
+                k_init, k_eval, k2 = jax.random.split(k, 3)
+                X0 = algo.ops.sample(k_init, algo.pop_size)
+                F0 = algo.eval_fn(X0, c, k_eval)
+                return GAState(X0, F0, k2, jnp.int32(0))
+            return jax.vmap(one, in_axes=(0, self._axes()))(keys, ctx)
+
+        return _binit(keys, self.ctx)
+
+    def step_fn(self) -> Callable:
+        step = self.base.step_fn()
+        if self.host_eval:
+            def looped(state: GAState, ctx=None) -> GAState:
+                ctx = ctx if ctx is not None else self.ctx
+                outs = [step(_slice_state(state, i), _slice_ctx_of(ctx, i))
+                        for i in range(self.n_search)]
+                return _stack_states(outs)
+            return looped
+        return jax.vmap(step, in_axes=(0, self._axes()))
+
+    def _slice_ctx(self, i: int) -> dict:
+        return _slice_ctx_of(self.ctx, i)
+
+    @functools.cached_property
+    def _jit_chunk(self):
+        step = self.step_fn()
+        if self.host_eval:
+            def run_chunk(state: GAState, ctx, n_gens: int) -> GAState:
+                for _ in range(n_gens):
+                    state = step(state, ctx)
+                return state
+            return run_chunk
+
+        @functools.partial(jax.jit, static_argnames="n_gens", donate_argnums=0)
+        def run_chunk(state: GAState, ctx, n_gens: int) -> GAState:
+            return lax.fori_loop(0, n_gens, lambda _, s: step(s, ctx), state)
+
+        return run_chunk
+
+
+def _slice_ctx_of(ctx: dict, i: int) -> dict:
+    out = dict(ctx)
+    out["target"] = ctx["target"][i]
+    return out
+
+
+def _slice_state(state: GAState, i: int) -> GAState:
+    return GAState(state.X[i], state.F[i], state.key[i], state.gen[i])
+
+
+def _stack_states(states: List[GAState]) -> GAState:
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *states)
+
+
+def make_batched(problem, targets,
+                 force_host_eval: bool = False) -> BatchedAlgorithm:
+    """K-search batched algorithm from a GenerationProblem + K targets.
+    The problem's own config.target only seeds its (unused) single-target
+    features; each batched search scores against its `targets[i]`.
+
+    img2txt backends with pure_callback support keep ONE jitted program (the
+    BPE round trips serialize per search via vmap_method="sequential");
+    host-staged backends (the axon tunnel, or force_host_eval=True) fall
+    back to a per-search host loop with shared weights."""
+    algo = problem.make_algorithm(force_host_eval=force_host_eval)
+    ctx = batched_targets_bundle(problem, list(targets))
+    return BatchedAlgorithm(base=algo, ctx=ctx, n_search=len(targets))
+
+
+def minimize_batched(balgo: BatchedAlgorithm, n_gen: int, key,
+                     callback: Optional[Callable] = None, save_each: int = 50,
+                     verbose: bool = False,
+                     state: Optional[GAState] = None) -> List[Result]:
+    """Run K searches to completion; returns one `Result` per search (same
+    shape as evolve.minimize's, reference run.py:79-96). `callback(state)`
+    receives the BATCHED state between chunks."""
+    if state is None:
+        state = balgo.init(key)
+    run_chunk = balgo._jit_chunk
+    done = 0
+    while done < n_gen:
+        chunk = min(save_each, n_gen - done)
+        state = run_chunk(state, balgo.ctx, chunk)
+        done += chunk
+        if verbose:
+            F = jax.device_get(state.F)          # [K, pop, n_obj]
+            best = F.min(axis=1)
+            print(f"gen {int(state.gen[0]):5d}  "
+                  f"best/search={np.array2string(best, precision=4)}")
+        if callback is not None:
+            callback(state)
+
+    pop_X = jax.device_get(state.X)
+    pop_F = jax.device_get(state.F)
+    results = []
+    for i in range(balgo.n_search):
+        Xi, Fi = pop_X[i], pop_F[i]
+        if balgo.algorithm == "nsga2":
+            rank = jax.device_get(non_dominated_rank(jnp.asarray(Fi)))
+            opt = rank == 0
+            X_opt, F_opt = Xi[opt], Fi[opt]
+        else:
+            b = Fi[:, 0].argmin()
+            X_opt, F_opt = Xi[b], Fi[b]
+        n_opt = 1 if X_opt.ndim == 1 else X_opt.shape[0]
+        results.append(Result(
+            X=X_opt, F=F_opt, G=np.zeros((n_opt,)), CV=np.zeros((n_opt, 1)),
+            pop_X=Xi, pop_F=Fi,
+            state=_slice_state(state, i)))
+    return results

@@ -549,11 +549,14 @@ class Generator:
             return _cosine(feats, bundle["target"])
         # img2txt: host BPE round trip via pure_callback
         pop = generated.shape[0]
+        # vmap_method="sequential": under the multi-search vmap
+        # (evolve/batched.py) the host BPE round trip runs once per search —
+        # host tokenization cannot batch across searches anyway
         toks, ok = jax.pure_callback(
             self._texts_to_clip_tokens,
             (jax.ShapeDtypeStruct((pop, CONTEXT_LENGTH), jnp.int32),
              jax.ShapeDtypeStruct((pop,), jnp.bool_)),
-            generated)
+            generated, vmap_method="sequential")
         feats = clip_model.encode_text(bundle["clip"], toks,
                                        self.clip_cfg, self.policy)
         sim = _cosine(feats, bundle["target"])
