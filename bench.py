@@ -73,7 +73,10 @@ def main():
             targets = [target] * n_targets
         else:
             targets = [f"{target}, variant {i}" for i in range(n_targets)]
-        algorithm = make_batched(problem, targets)
+        smb = os.environ.get("BENCH_SEARCH_MB")
+        algorithm = make_batched(
+            problem, targets,
+            search_microbatch=int(smb) if smb else None)
     else:
         algorithm = problem.make_algorithm()
 

@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="evaluate the population in on-device chunks of this "
                         "size (lax.map): decouples pop size from HBM, like "
                         "the reference's minibatch loops")
+    p.add_argument("--search-microbatch", type=int, default=None,
+                   help="with multiple --target: evaluate the batched "
+                        "searches in on-device chunks of this many searches "
+                        "(decouples the tenant count from HBM)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quantize", type=str, default="", choices=["", "int8"],
                    help="int8: run the compute-heavy frozen-model convs on "
@@ -207,7 +211,8 @@ def main(argv=None) -> int:
         # K searches (one per --target) batched into ONE compiled program
         from clip_glass_tpu.evolve.batched import (make_batched,
                                                    minimize_batched)
-        algorithm = make_batched(problem, targets)
+        algorithm = make_batched(problem, targets,
+                                 search_microbatch=args.search_microbatch)
         folders = [os.path.join(config.tmp_folder, f"search-{i:02d}")
                    for i in range(n_search)]
         for f, t in zip(folders, targets):

@@ -86,6 +86,12 @@ class BatchedAlgorithm:
     base: Algorithm        # single-search algorithm (ops/eval_fn/pop_size)
     ctx: dict              # batched bundle (target leaf [K, 1, D])
     n_search: int
+    # evaluate the searches in on-device chunks of this many searches
+    # (lax.map over the search axis): peak activation memory is that of one
+    # chunk, so K is decoupled from HBM — the search-axis analogue of
+    # config.eval_microbatch (K=16 x pop 16 at 1024px exceeds a single
+    # v5e's HBM unchunked; chunks of 8 run at the K=8 rate)
+    search_microbatch: Optional[int] = None
 
     # driver-surface passthroughs
     @property
@@ -120,7 +126,8 @@ class BatchedAlgorithm:
                 X0 = algo.ops.sample(k_init, algo.pop_size)
                 F0 = algo.eval_fn(X0, c, k_eval)
                 return GAState(X0, F0, k2, jnp.int32(0))
-            return jax.vmap(one, in_axes=(0, self._axes()))(keys, ctx)
+            binit = jax.vmap(one, in_axes=(0, self._axes()))
+            return self._search_chunked(binit)(keys, ctx)
 
         return _binit(keys, self.ctx)
 
@@ -133,7 +140,34 @@ class BatchedAlgorithm:
                         for i in range(self.n_search)]
                 return _stack_states(outs)
             return looped
-        return jax.vmap(step, in_axes=(0, self._axes()))
+        return self._search_chunked(
+            jax.vmap(step, in_axes=(0, self._axes())))
+
+    def _search_chunked(self, vfn: Callable) -> Callable:
+        """Wrap a vmapped-over-searches fn(batched_first_arg, ctx) in
+        `lax.map` chunks of `search_microbatch` searches: one chunk's
+        activations live at a time (identical results — searches are
+        independent, so chunking is pure scheduling)."""
+        smb = self.search_microbatch
+        K = self.n_search
+        if not smb or K <= smb:
+            return vfn
+        if K % smb:
+            raise ValueError(
+                f"search_microbatch {smb} must divide n_search {K}")
+        nc = K // smb
+
+        def chunked(batched, ctx=None):
+            ctx = ctx if ctx is not None else self.ctx
+            chunk = lambda x: x.reshape((nc, smb) + x.shape[1:])
+            rest = {k: v for k, v in ctx.items() if k != "target"}
+            out = lax.map(
+                lambda bt: vfn(bt[0], {**rest, "target": bt[1]}),
+                (jax.tree.map(chunk, batched), chunk(ctx["target"])))
+            return jax.tree.map(
+                lambda x: x.reshape((K,) + x.shape[2:]), out)
+
+        return chunked
 
     def _slice_ctx(self, i: int) -> dict:
         return _slice_ctx_of(self.ctx, i)
@@ -169,8 +203,8 @@ def _stack_states(states: List[GAState]) -> GAState:
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *states)
 
 
-def make_batched(problem, targets,
-                 force_host_eval: bool = False) -> BatchedAlgorithm:
+def make_batched(problem, targets, force_host_eval: bool = False,
+                 search_microbatch: Optional[int] = None) -> BatchedAlgorithm:
     """K-search batched algorithm from a GenerationProblem + K targets.
     The problem's own config.target only seeds its (unused) single-target
     features; each batched search scores against its `targets[i]`.
@@ -181,7 +215,8 @@ def make_batched(problem, targets,
     back to a per-search host loop with shared weights."""
     algo = problem.make_algorithm(force_host_eval=force_host_eval)
     ctx = batched_targets_bundle(problem, list(targets))
-    return BatchedAlgorithm(base=algo, ctx=ctx, n_search=len(targets))
+    return BatchedAlgorithm(base=algo, ctx=ctx, n_search=len(targets),
+                            search_microbatch=search_microbatch)
 
 
 def minimize_batched(balgo: BatchedAlgorithm, n_gen: int, key,

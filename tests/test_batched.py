@@ -171,3 +171,20 @@ def test_cli_multi_target(tmp_path):
             assert (d / name).exists(), (d, name)
         assert (d / "target.txt").read_text() == tgt
     assert (tmp_path / "ga_state.npz").exists()
+
+def test_search_microbatch_matches_unchunked():
+    """search_microbatch (lax.map over search chunks) is pure scheduling:
+    trajectories must match the unchunked vmapped batch exactly — searches
+    are independent, so unlike eval_microbatch there is no mbstd-grouping
+    caveat."""
+    prob = _tiny_sg2_problem(True)
+    targets = ["a red flower", "a blue car", "an old house", "a green bird"]
+    key = jax.random.PRNGKey(13)
+    res_full = minimize_batched(make_batched(prob, targets), n_gen=2, key=key)
+    res_mb = minimize_batched(
+        make_batched(prob, targets, search_microbatch=2), n_gen=2, key=key)
+    for rf, rm in zip(res_full, res_mb):
+        np.testing.assert_allclose(rm.pop_X, rf.pop_X, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(rm.pop_F, rf.pop_F, rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        make_batched(prob, targets, search_microbatch=3).init(key)
