@@ -271,7 +271,7 @@ def main(argv=None) -> int:
             or (state.X.ndim == 3 and state.X.shape[0] != n_search)):
         print("checkpoint does not match the --target count; starting fresh")
         state = None
-    if state is None and args.resume:
+    elif state is None and args.resume:
         print("no checkpoint found; starting fresh")
     if state is None:
         state = algorithm.init(jax.random.PRNGKey(config.seed))

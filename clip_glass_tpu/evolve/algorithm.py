@@ -217,19 +217,44 @@ class Algorithm:
 
     @functools.cached_property
     def _jit_chunk(self):
-        step = self.step_fn()
-        if self.host_eval:
-            def run_chunk(state: GAState, ctx, n_gens: int) -> GAState:
-                for _ in range(n_gens):
-                    state = step(state, ctx)
-                return state
-            return run_chunk
+        return make_jit_chunk(self.step_fn(), self.host_eval)
 
-        @functools.partial(jax.jit, static_argnames="n_gens", donate_argnums=0)
+
+def make_jit_chunk(step: Callable, host_eval: bool) -> Callable:
+    """`run_chunk(state, ctx, n_gens)`: advance n_gens generations as ONE
+    jitted lax.fori_loop dispatch (host_eval: a host loop of staged steps).
+    Shared by Algorithm and evolve.batched.BatchedAlgorithm."""
+    if host_eval:
         def run_chunk(state: GAState, ctx, n_gens: int) -> GAState:
-            return lax.fori_loop(0, n_gens, lambda _, s: step(s, ctx), state)
-
+            for _ in range(n_gens):
+                state = step(state, ctx)
+            return state
         return run_chunk
+
+    @functools.partial(jax.jit, static_argnames="n_gens", donate_argnums=0)
+    def run_chunk(state: GAState, ctx, n_gens: int) -> GAState:
+        return lax.fori_loop(0, n_gens, lambda _, s: step(s, ctx), state)
+
+    return run_chunk
+
+
+def extract_result(pop_X, pop_F, algorithm_name: str, state: GAState) -> "Result":
+    """pymoo-shaped Result from a final population (reference run.py:79-96):
+    the optimum is the rank-0 front for NSGA-II, the single best row for GA;
+    G/CV identically zero (reference problem.py:29). Shared by `minimize`
+    and `evolve.batched.minimize_batched`."""
+    import numpy as np
+    if algorithm_name == "nsga2":
+        rank = jax.device_get(non_dominated_rank(jnp.asarray(pop_F)))
+        opt = rank == 0
+        X_opt, F_opt = pop_X[opt], pop_F[opt]
+    else:
+        best = pop_F[:, 0].argmin()
+        X_opt, F_opt = pop_X[best], pop_F[best]
+    n_opt = 1 if X_opt.ndim == 1 else X_opt.shape[0]
+    return Result(X=X_opt, F=F_opt, G=np.zeros((n_opt,)),
+                  CV=np.zeros((n_opt, 1)), pop_X=pop_X, pop_F=pop_F,
+                  state=state)
 
 
 def minimize(algorithm: Algorithm, n_gen: int, key,
@@ -256,16 +281,5 @@ def minimize(algorithm: Algorithm, n_gen: int, key,
         if callback is not None:
             callback(state)
 
-    pop_X = jax.device_get(state.X)
-    pop_F = jax.device_get(state.F)
-    if algorithm.algorithm == "nsga2":
-        rank = jax.device_get(non_dominated_rank(state.F))
-        opt = rank == 0
-        X_opt, F_opt = pop_X[opt], pop_F[opt]
-    else:
-        best = pop_F[:, 0].argmin()
-        X_opt, F_opt = pop_X[best], pop_F[best]
-    n_opt = 1 if X_opt.ndim == 1 else X_opt.shape[0]
-    import numpy as np
-    return Result(X=X_opt, F=F_opt, G=np.zeros((n_opt,)), CV=np.zeros((n_opt, 1)),
-                  pop_X=pop_X, pop_F=pop_F, state=state)
+    return extract_result(jax.device_get(state.X), jax.device_get(state.F),
+                          algorithm.algorithm, state)

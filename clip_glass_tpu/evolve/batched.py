@@ -39,35 +39,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from clip_glass_tpu.evolve.algorithm import Algorithm, GAState, Result
-from clip_glass_tpu.evolve.nds import non_dominated_rank
+from clip_glass_tpu.evolve.algorithm import (Algorithm, GAState, Result,
+                                             extract_result, make_jit_chunk)
 
 
 def batched_targets_bundle(problem, targets) -> dict:
     """The parameter bundle with the `target` leaf stacked to [K, 1, D]
     (one CLIP feature row per search; everything else shared). Target
     features are computed in ONE encode call over all K prompts/images
-    (reference generator.py:22-27 computes its single target once)."""
+    (Generator.encode_targets)."""
     gen = problem.generator
-    from clip_glass_tpu.models.clip import model as clip_model
-    if gen.config.task == "txt2img":
-        from clip_glass_tpu.tokenizers import tokenize
-        toks = jnp.asarray(tokenize(list(targets)))
-        feats = jax.jit(
-            lambda p, t: clip_model.encode_text(p, t, gen.clip_cfg, gen.policy)
-        )(gen.clip_params, toks)                      # [K, D]
-    else:
-        from PIL import Image
-        from clip_glass_tpu.ops.resize import clip_preprocess_pil
-        imgs = jnp.concatenate([
-            jnp.asarray(clip_preprocess_pil(Image.open(t),
-                                            gen.clip_cfg.image_resolution))
-            for t in targets], axis=0)                # [K, 3, R, R]
-        feats = jax.jit(
-            lambda p, im: clip_model.encode_image(p, im, gen.clip_cfg, gen.policy)
-        )(gen.clip_params, imgs)
     bundle = dict(gen.bundle)
-    bundle["target"] = feats[:, None, :]              # [K, 1, D]
+    bundle["target"] = gen.encode_targets(list(targets))[:, None, :]
     return bundle
 
 
@@ -174,19 +157,7 @@ class BatchedAlgorithm:
 
     @functools.cached_property
     def _jit_chunk(self):
-        step = self.step_fn()
-        if self.host_eval:
-            def run_chunk(state: GAState, ctx, n_gens: int) -> GAState:
-                for _ in range(n_gens):
-                    state = step(state, ctx)
-                return state
-            return run_chunk
-
-        @functools.partial(jax.jit, static_argnames="n_gens", donate_argnums=0)
-        def run_chunk(state: GAState, ctx, n_gens: int) -> GAState:
-            return lax.fori_loop(0, n_gens, lambda _, s: step(s, ctx), state)
-
-        return run_chunk
+        return make_jit_chunk(self.step_fn(), self.host_eval)
 
 
 def _slice_ctx_of(ctx: dict, i: int) -> dict:
@@ -244,19 +215,6 @@ def minimize_batched(balgo: BatchedAlgorithm, n_gen: int, key,
 
     pop_X = jax.device_get(state.X)
     pop_F = jax.device_get(state.F)
-    results = []
-    for i in range(balgo.n_search):
-        Xi, Fi = pop_X[i], pop_F[i]
-        if balgo.algorithm == "nsga2":
-            rank = jax.device_get(non_dominated_rank(jnp.asarray(Fi)))
-            opt = rank == 0
-            X_opt, F_opt = Xi[opt], Fi[opt]
-        else:
-            b = Fi[:, 0].argmin()
-            X_opt, F_opt = Xi[b], Fi[b]
-        n_opt = 1 if X_opt.ndim == 1 else X_opt.shape[0]
-        results.append(Result(
-            X=X_opt, F=F_opt, G=np.zeros((n_opt,)), CV=np.zeros((n_opt, 1)),
-            pop_X=Xi, pop_F=Fi,
-            state=_slice_state(state, i)))
-    return results
+    return [extract_result(pop_X[i], pop_F[i], balgo.algorithm,
+                           _slice_state(state, i))
+            for i in range(balgo.n_search)]

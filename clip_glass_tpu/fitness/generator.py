@@ -569,21 +569,32 @@ class Generator:
         return sg2.discriminator_apply(bundle["d"], biggan_denorm(images),
                                        self.model_cfg, policy=self.policy)
 
+    def encode_targets(self, targets) -> jnp.ndarray:
+        """CLIP features for a LIST of targets -> [K, D]: text prompts for
+        txt2img, image paths for img2txt, ONE encode call for all K (the
+        reference computes its single target the same way,
+        generator.py:22-27). Used by refresh_targets and the multi-search
+        batching (evolve/batched.py)."""
+        if self.config.task == "txt2img":
+            toks = jnp.asarray(tokenize(list(targets)))
+            return jax.jit(lambda p, t: clip_model.encode_text(
+                p, t, self.clip_cfg, self.policy))(self.clip_params, toks)
+        from PIL import Image
+        imgs = jnp.concatenate([
+            jnp.asarray(clip_preprocess_pil(Image.open(t),
+                                            self.clip_cfg.image_resolution))
+            for t in targets], axis=0)
+        return jax.jit(lambda p, im: clip_model.encode_image(
+            p, im, self.clip_cfg, self.policy))(self.clip_params, imgs)
+
     def refresh_targets(self):
         """Recompute the cached target features (reference generator.py:22-27)
         after params were replaced (weight injection, sharding, hot reload)."""
+        feats = self.encode_targets([self.config.target])
         if self.config.task == "txt2img":
-            tokens = jnp.asarray(tokenize([self.config.target]))
-            self.text_features = jax.jit(
-                lambda p, t: clip_model.encode_text(p, t, self.clip_cfg, self.policy)
-            )(self.clip_params, tokens)
+            self.text_features = feats
         else:
-            from PIL import Image
-            img = clip_preprocess_pil(Image.open(self.config.target),
-                                      self.clip_cfg.image_resolution)
-            self.image_features = jax.jit(
-                lambda p, im: clip_model.encode_image(p, im, self.clip_cfg, self.policy)
-            )(self.clip_params, jnp.asarray(img))
+            self.image_features = feats
 
     @property
     def needs_host_eval(self) -> bool:

@@ -57,9 +57,15 @@ def main():
     print(f"final population F (shape {res.pop_F.shape}): "
           f"best similarity {-res.pop_F[:, 0].min():.4f}")  # F0 = -cosine
 
-    # 4. multi-criteria decision (reference run.py:103-113) + render
-    idx = pick(res.pop_F, (0, 1))
-    X_best = np.atleast_2d(res.pop_X[idx])
+    # 4. multi-criteria decision (reference run.py:103-113) + render —
+    #    restrict to the rank-0 Pareto front first, like the CLI/reference
+    #    (pseudo-weights normalizes within the set it is given, so feeding
+    #    the full population could pick a dominated individual)
+    from clip_glass_tpu.evolve.nds import non_dominated_rank
+    front = np.asarray(non_dominated_rank(jax.numpy.asarray(res.pop_F))) == 0
+    X_opt, F_opt = res.pop_X[front], res.pop_F[front]
+    idx = pick(F_opt, (0, 1))
+    X_best = np.atleast_2d(X_opt[idx])
     images = problem.generator.generate(jax.numpy.asarray(X_best))
     os.makedirs(args.out, exist_ok=True)
     problem.generator.save(images, os.path.join(args.out, "best.jpg"))

@@ -19,7 +19,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 
 def main():
@@ -33,6 +32,8 @@ def main():
     ap.add_argument("--out", default="/tmp/serve_batched")
     args = ap.parse_args()
     prompts = args.prompt or ["a red flower", "a blue car", "an old house"]
+    if args.tiny:  # tiny mode is a CPU smoke run; full size uses the TPU
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
     import jax
     import numpy as np
@@ -59,8 +60,12 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     for i, (prompt, res) in enumerate(zip(prompts, results)):
         if config.n_obj == 2:
-            idx = pick(res.pop_F, (0, 1))
-            X_best = np.atleast_2d(res.pop_X[idx])
+            # decision on the rank-0 front only (reference run.py:103-113)
+            from clip_glass_tpu.evolve.nds import non_dominated_rank
+            front = np.asarray(
+                non_dominated_rank(jax.numpy.asarray(res.pop_F))) == 0
+            idx = pick(res.pop_F[front], (0, 1))
+            X_best = np.atleast_2d(res.pop_X[front][idx])
         else:
             X_best = np.atleast_2d(res.pop_X[res.pop_F[:, 0].argmin()])
         img = problem.generator.generate(jax.numpy.asarray(X_best))

@@ -58,7 +58,12 @@ def main():
         for vname, venv in variants:
             if name == "gpt2" and vname == "int8":
                 continue  # no eligible convs (DESIGN.md §10)
-            env = dict(os.environ, **ROWS[name], **venv)
+            # drop any ambient BENCH_* so exported knobs can't leak into
+            # rows that don't pin them (the table must be reproducible)
+            env = {k: v for k, v in os.environ.items()
+                   if not k.startswith("BENCH_")}
+            env.update(ROWS[name])
+            env.update(venv)
             proc = subprocess.run([sys.executable, bench], env=env,
                                   capture_output=True, text=True)
             line = next((l for l in reversed(proc.stdout.splitlines())
