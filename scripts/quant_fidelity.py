@@ -36,6 +36,33 @@ def spearman(a, b):
     return float((ra * rb).sum() / den) if den else 1.0
 
 
+def search_ab(cfg, seeds, n_gen):
+    """Search-OUTCOME A/B: full searches under exact vs quantized fitness,
+    one per seed; reports each run's best final similarity. The GA consumes
+    fitness only through comparisons, so the decision-relevant question is
+    whether the quantized search CONVERGES to an equally good optimum —
+    not whether intermediate values match."""
+    import jax
+    from clip_glass_tpu.evolve.algorithm import minimize
+    from clip_glass_tpu.fitness.problem import GenerationProblem
+
+    print(f"search-outcome A/B: {cfg.name} pop {cfg.pop_size}, "
+          f"{n_gen} generations x {len(seeds)} seeds")
+    best = {"bf16": [], "int8": []}
+    for mode, c in (("bf16", cfg), ("int8", cfg.replace(quantize="int8"))):
+        algo = GenerationProblem(c).make_algorithm()
+        for seed in seeds:
+            res = minimize(algo, n_gen=n_gen, key=jax.random.PRNGKey(seed),
+                           save_each=n_gen)
+            b = float(res.pop_F[:, 0].min())
+            best[mode].append(b)
+            print(f"  {mode} seed {seed}: best sim {-b:.4f}")
+    import numpy as np
+    db = np.asarray(best["int8"]) - np.asarray(best["bf16"])
+    print(f"  best-sim delta int8-vs-bf16 per seed (positive = int8 "
+          f"better): {np.array2string(-db, precision=4)}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="StyleGAN2_ffhq_d")
@@ -45,6 +72,10 @@ def main():
     ap.add_argument("--weights", default="random:0")
     ap.add_argument("--min-ch", type=int, default=None,
                     help="override quantize_min_ch")
+    ap.add_argument("--search-ab", type=int, default=0, metavar="N_SEEDS",
+                    help="instead of value/rank fidelity, run full-search "
+                         "outcome A/Bs over this many seeds")
+    ap.add_argument("--generations", type=int, default=200)
     args = ap.parse_args()
 
     import jax
@@ -61,6 +92,8 @@ def main():
         pop_size=args.pop_size, compute_dtype="bfloat16")
     if args.min_ch is not None:
         cfg = cfg.replace(quantize_min_ch=args.min_ch)
+    if args.search_ab:
+        return search_ab(cfg, list(range(args.search_ab)), args.generations)
 
     pb_f = GenerationProblem(cfg)
     pb_q = GenerationProblem(cfg.replace(quantize="int8"))
