@@ -59,6 +59,17 @@ class FID:
             seen += len(f)
             if seen >= self.num_samples:
                 break
+        if not feats:
+            raise ValueError("FID: the batch iterator yielded no samples")
+        if seen < self.num_samples:
+            # a silently undersampled FID is not comparable to an FID-N:
+            # small-sample covariance biases the score upward
+            import warnings
+            warnings.warn(
+                f"FID: iterator exhausted at {seen} samples "
+                f"(num_samples={self.num_samples}); statistics are "
+                f"computed over {seen} and the score is not an "
+                f"FID-{self.num_samples}", stacklevel=3)
         return np.concatenate(feats)[: self.num_samples]
 
     def set_real_stats(self, real_batches: Iterator[np.ndarray]):

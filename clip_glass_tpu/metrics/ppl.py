@@ -51,6 +51,10 @@ class PPL:
         self.use_dlatent = use_dlatent
         self.full_sampling = full_sampling
         self.seed = seed
+        # jit ONCE: a fresh jax.jit wrapper per evaluate() would retrace
+        # and recompile the full mapping+synthesis graph on every call
+        # (seconds-to-minutes when registered as a per-checkpoint metric)
+        self._jit_batch = jax.jit(self._batch_distances)
 
     def _batch_distances(self, key) -> jnp.ndarray:
         cfg = self.cfg
@@ -83,7 +87,7 @@ class PPL:
 
     def evaluate(self) -> float:
         key = jax.random.PRNGKey(self.seed)
-        fn = jax.jit(self._batch_distances)
+        fn = self._jit_batch
         dists = []
         for _ in range(max(1, self.num_samples // self.batch_size)):
             key, sub = jax.random.split(key)

@@ -144,8 +144,10 @@ class Projector:
 
         optim = optax.adam(1.0, b1=0.9, b2=0.999)  # lr folded via scale below
 
-        def step(opt_vars, opt_state, target, key, step_idx):
-            t = step_idx / cfg.num_steps
+        def step(opt_vars, opt_state, target, key, t):
+            # t = fraction of the TOTAL run in [0, 1), computed by the
+            # caller from the actual step count so a project(num_steps=N)
+            # override still completes the lr/noise schedules
             lr = self._lr_schedule(t)
             (loss, dist), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 opt_vars, target, key, t)
@@ -180,7 +182,7 @@ class Projector:
         for i in range(num_steps):
             key, sub = jax.random.split(key)
             opt_vars, opt_state, loss, dist = self._step_fn(
-                opt_vars, opt_state, target01, sub, jnp.float32(i))
+                opt_vars, opt_state, target01, sub, jnp.float32(i / num_steps))
             if verbose and (i + 1) % max(1, num_steps // 10) == 0:
                 print(f"project step {i + 1}/{num_steps} "
                       f"loss={float(loss):.4f} dist={float(dist):.4f}")

@@ -55,6 +55,9 @@ class TrainerConfig:
     pl_weight: float = 2.0
     pl_decay: float = 0.01
     style_mix_prob: float = 0.9    # reference train.py:130-131
+    # running-average dlatent EMA for truncation (reference
+    # models.py:219-229, 461-465: updated during every training forward)
+    dlatent_avg_beta: float = 0.995
     # Gradient-accumulation subdivisions (reference train.py:432-463,
     # 505-544): each optimizer step averages the grads of `subdivisions`
     # sequential micro-batches of batch_size/subdivisions — big effective
@@ -79,7 +82,14 @@ class TrainerConfig:
                 data = json.load(f)
         data.update(overrides)
         fields = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in data.items() if k in fields})
+        unknown = sorted(set(data) - fields)
+        if unknown:
+            # a typo'd key silently training with defaults is the worst
+            # failure mode of an overlay file; the reference's yaml
+            # ConfigArgumentParser likewise rejects unknown options
+            raise ValueError(f"unknown TrainerConfig keys in {path}: "
+                             f"{unknown}; valid: {sorted(fields)}")
+        return cls(**data)
 
     # back-compat alias (JSON was the only overlay format before round 3)
     from_json = from_file
@@ -216,7 +226,7 @@ class Trainer:
             return accumulate_value_and_grads(fn, xs_tree, S)
 
         def step(state: TrainState, reals):
-            key, kd, kg, kdr, kgr = jax.random.split(state.key, 5)
+            key, kd, kg, k_avg, kgr = jax.random.split(state.key, 5)
             batch = reals.shape[0]
             if batch % S:
                 raise ValueError(f"batch {batch} not divisible by "
@@ -273,6 +283,21 @@ class Trainer:
                                                    state.g_params)
             g_params = optax.apply_updates(state.g_params, g_updates)
 
+            # ---- dlatent_avg running EMA (reference models.py:461-465:
+            # every training forward lerps the buffer toward the batch's
+            # first-layer dlatent mean with dlatent_avg_beta; here once per
+            # step from a fresh mapping batch — same fixed point, and the
+            # mapping forward is negligible next to synthesis). Without
+            # this, truncation on a self-trained model lerps toward the
+            # init zeros vector.
+            z_avg = jax.random.normal(k_avg, (sub, self.model_cfg.latent_size))
+            w_avg = sg2.mapping_apply(g_params["mapping"], z_avg,
+                                      self.model_cfg).mean(axis=0)
+            b = cfg.dlatent_avg_beta
+            g_params = {**g_params,
+                        "dlatent_avg": w_avg + (g_params["dlatent_avg"]
+                                                - w_avg) * b}
+
             # ---- EMA Gs (reference train.py:293-302, 543-548)
             beta = cfg.ema_beta
             gs_params = jax.tree.map(lambda a, b: beta * a + (1 - beta) * b,
@@ -295,10 +320,14 @@ class Trainer:
         (tensorboard-equivalent scalar CSV + fixed-latent image grids,
         reference train.py:620-635, 761-777). Returns the last logs dict."""
         logs = {}
+        # host-side step counter: int(self.state.step) would force a
+        # device sync on the just-dispatched step every iteration,
+        # serializing the loop against async dispatch
+        step = int(self.state.step)
         for it in range(iterations):
             reals = jnp.asarray(next(data))
             self.state, logs = self._train_step(self.state, reals)
-            step = int(self.state.step)
+            step += 1
             seen = step * self.cfg.batch_size
             if log_every and (it + 1) % log_every == 0:
                 vals = {k: float(v) for k, v in logs.items()}
@@ -307,7 +336,12 @@ class Trainer:
                     sinks.log_scalars(vals, step)
             if sinks is not None:
                 sinks.maybe_log_images(self, step)
-            if self.cfg.checkpoint_every and seen % self.cfg.checkpoint_every == 0:
+            # fire when `seen` CROSSES a checkpoint_every boundary (a
+            # divisibility test misses every boundary whose multiple isn't
+            # hit exactly, e.g. batch 6 / every 10000)
+            if self.cfg.checkpoint_every and (
+                    seen // self.cfg.checkpoint_every
+                    > (seen - self.cfg.batch_size) // self.cfg.checkpoint_every):
                 self.save_checkpoint()
         return logs
 
@@ -324,10 +358,6 @@ class Trainer:
         seen = int(self.state.step) * self.cfg.batch_size
         folder = folder or os.path.join(self.cfg.checkpoint_dir, str(seen))
         os.makedirs(folder, exist_ok=True)
-        with open(os.path.join(folder, "kwargs.json"), "w") as f:
-            json.dump({"seen": seen, "pl_avg": float(self.state.pl_avg),
-                       "step": int(self.state.step),
-                       "trainer": dataclasses.asdict(self.cfg)}, f)
         pytree.save_npz(os.path.join(folder, "G.npz"), self.state.g_params)
         pytree.save_npz(os.path.join(folder, "D.npz"), self.state.d_params)
         pytree.save_npz(os.path.join(folder, "Gs.npz"), self.state.gs_params)
@@ -335,23 +365,36 @@ class Trainer:
                         _opt_to_tree(self.state.g_opt))
         pytree.save_npz(os.path.join(folder, "D_opt.npz"),
                         _opt_to_tree(self.state.d_opt))
+        # kwargs.json LAST: with latest_checkpoint requiring the full file
+        # set, a save killed mid-write can never present as complete
+        with open(os.path.join(folder, "kwargs.json"), "w") as f:
+            json.dump({"seen": seen, "pl_avg": float(self.state.pl_avg),
+                       "step": int(self.state.step),
+                       "trainer": dataclasses.asdict(self.cfg)}, f)
         return folder
 
     def load_checkpoint(self, folder: str):
         with open(os.path.join(folder, "kwargs.json")) as f:
             meta = json.load(f)
-        g_params = pytree.load_npz(os.path.join(folder, "G.npz"))
-        d_params = pytree.load_npz(os.path.join(folder, "D.npz"))
-        gs_params = pytree.load_npz(os.path.join(folder, "Gs.npz"))
+        # restore the list/dict pytree structure FIRST: the optimizer
+        # template must be built from the list-structured params, or the
+        # restored opt state carries the npz's dict('0','1',...) structure
+        # — the next train step then fails on the tree mismatch (and for
+        # >=10-element lists the lexicographic '0','1','10','2' flatten
+        # order would silently mis-assign moments)
+        g_params = _match(pytree.load_npz(os.path.join(folder, "G.npz")),
+                          self.state.g_params)
+        d_params = _match(pytree.load_npz(os.path.join(folder, "D.npz")),
+                          self.state.d_params)
+        gs_params = _match(pytree.load_npz(os.path.join(folder, "Gs.npz")),
+                           self.state.gs_params)
         g_opt = _tree_to_opt(pytree.load_npz(os.path.join(folder, "G_opt.npz")),
                              self.g_optim.init(g_params))
         d_opt = _tree_to_opt(pytree.load_npz(os.path.join(folder, "D_opt.npz")),
                              self.d_optim.init(d_params))
         self.state = TrainState(
-            g_params=_match(g_params, self.state.g_params),
-            d_params=_match(d_params, self.state.d_params),
-            g_opt=g_opt, d_opt=d_opt,
-            gs_params=_match(gs_params, self.state.gs_params),
+            g_params=g_params, d_params=d_params,
+            g_opt=g_opt, d_opt=d_opt, gs_params=gs_params,
             pl_avg=jnp.asarray(meta["pl_avg"]),
             step=jnp.asarray(meta["step"], jnp.int32),
             key=self.state.key)
@@ -362,7 +405,10 @@ class Trainer:
         directories named by images-seen, newest complete one wins."""
         if not os.path.isdir(root):
             return None
-        required = {"kwargs.json", "G.npz", "D.npz", "Gs.npz"}
+        # everything load_checkpoint reads must be present, or a partial
+        # save (killed mid-write) would be picked and crash the resume
+        required = {"kwargs.json", "G.npz", "D.npz", "Gs.npz",
+                    "G_opt.npz", "D_opt.npz"}
         best, best_seen = None, -1
         for name in os.listdir(root):
             path = os.path.join(root, name)

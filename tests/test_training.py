@@ -218,3 +218,74 @@ def test_scalar_and_image_sinks(tmp_path):
     import os
     imgs = sorted(f for f in os.listdir(run_dir) if f.endswith(".jpg"))
     assert imgs == ["fakes_2.jpg", "fakes_4.jpg"]
+
+
+# ------------------------------------------------------------ review fixes
+
+def test_dlatent_avg_tracks_mapping_mean(trainer):
+    """The truncation running average must MOVE during training toward the
+    mapping output mean (reference models.py:461-465) — a zero dlatent_avg
+    would make truncation on a self-trained model lerp toward the origin."""
+    before = np.asarray(trainer.state.g_params["dlatent_avg"]).copy()
+    trainer.train(_data(), iterations=2)
+    after = np.asarray(trainer.state.g_params["dlatent_avg"])
+    assert not np.allclose(before, after)
+    # and the EMA generator carries it too (reference MovingAverageModule
+    # averages buffers as well as params)
+    assert not np.allclose(
+        np.asarray(trainer.state.gs_params["dlatent_avg"]), 0.0)
+
+
+def test_trainer_config_rejects_unknown_keys(tmp_path):
+    import json
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"g_lr": 1e-3, "d_reg_intervall": 4}))
+    with pytest.raises(ValueError, match="d_reg_intervall"):
+        TrainerConfig.from_file(str(p))
+
+
+def test_latest_checkpoint_skips_partial_dirs(trainer, tmp_path):
+    import os
+    root = str(tmp_path / "ck2")
+    trainer.cfg.checkpoint_dir = root
+    complete = trainer.save_checkpoint()
+    # a newer dir missing the optimizer files (save killed mid-write) must
+    # not win the discovery
+    partial = os.path.join(root, str(10 ** 9))
+    os.makedirs(partial)
+    for name in ("kwargs.json", "G.npz", "D.npz", "Gs.npz"):
+        open(os.path.join(partial, name), "wb").close()
+    assert Trainer.latest_checkpoint(root) == complete
+
+
+def test_checkpoint_cadence_is_boundary_crossing(tmp_path):
+    """seen=step*batch crossing checkpoint_every must fire even when the
+    batch size does not divide the interval (6*step % 10 == 0 only every
+    5 steps; the crossing test fires at steps 2, 4, 5, ...)."""
+    cfg = TrainerConfig(batch_size=6, checkpoint_every=10,
+                        checkpoint_dir=str(tmp_path / "ck3"))
+    tr = Trainer(model_cfg=sg2.TINY, cfg=cfg)
+    fired = []
+    tr.save_checkpoint = lambda folder=None: fired.append(
+        int(tr.state.step))  # stub: record instead of writing npz files
+    tr.train(_data(batch=6), iterations=5)
+    # seen after each step: 6, 12, 18, 24, 30 -> boundary crossings (of 10)
+    # at 12, 24, 30; the old divisibility test (6*step % 10 == 0) would
+    # have fired only at step 5
+    assert fired == [2, 4, 5]
+
+
+def test_training_continues_after_resume(tmp_path):
+    """Training must continue from a loaded checkpoint: the restored
+    optimizer state must carry the params' list structure (a template
+    built from the raw npz dict crashed the next step on tree mismatch)."""
+    cfg = TrainerConfig(batch_size=4, checkpoint_every=0,
+                        checkpoint_dir=str(tmp_path / "ck4"))
+    tr = Trainer(model_cfg=sg2.TINY, cfg=cfg)
+    tr.train(_data(), iterations=1)
+    folder = tr.save_checkpoint()
+    tr2 = Trainer(model_cfg=sg2.TINY, cfg=cfg)
+    tr2.load_checkpoint(folder)
+    logs = tr2.train(_data(), iterations=2)
+    assert np.isfinite(float(logs["g_loss"]))
+    assert int(tr2.state.step) == 3
