@@ -139,11 +139,18 @@ def _clip_rn_image_flops(cfg) -> int:
                 total += _conv(ro, ro, inplanes, planes * 4, 1)  # downsample
             inplanes = planes * 4
             r = ro
-    # attention pooling: q/k/v/c projections + QK^T/AV over S+1 tokens
+    # attention pooling: only token 0's output is live (resnet.py returns
+    # out[:, 0]; the reference likewise keeps x[0], clip/model.py:88-91), so
+    # by this module's discarded-work-is-not-model-work rule the live
+    # algorithmic work is q/c_proj for ONE query token, k/v for all S+1
+    # keys, and one query row of QK^T/AV. (The implementation executes the
+    # full MHA like the reference — the difference counts against
+    # utilization, never for it.)
     seq = r * r + 1
     ed = inplanes  # embed_dim = width * 32
-    total += 3 * seq * _dense(ed, ed) + _dense(ed, cfg.embed_dim)
-    total += 2 * 2 * seq * seq * ed
+    total += _dense(ed, ed) + 2 * seq * _dense(ed, ed)   # q (1 tok) + k,v
+    total += 2 * 2 * seq * ed                            # QK^T + AV, 1 query
+    total += _dense(ed, cfg.embed_dim)                   # c_proj, 1 token
     return total
 
 

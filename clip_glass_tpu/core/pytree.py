@@ -50,9 +50,15 @@ def save_npz(path: str, tree: Dict[str, Any]) -> None:
 
 
 def load_npz(path: str, dtype=None) -> Dict[str, Any]:
+    def leaf(arr):
+        # bind the array once: NpzFile.__getitem__ decompresses on every
+        # access, so touching it twice doubles load time and peak memory
+        if dtype is not None and np.issubdtype(arr.dtype, np.floating):
+            return jnp.asarray(arr, dtype)
+        return jnp.asarray(arr)
+
     with np.load(path) as data:
-        flat = {k: jnp.asarray(data[k], dtype) if dtype is not None and np.issubdtype(data[k].dtype, np.floating)
-                else jnp.asarray(data[k]) for k in data.files}
+        flat = {k: leaf(data[k]) for k in data.files}
     return unflatten(flat)
 
 

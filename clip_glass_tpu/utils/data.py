@@ -52,18 +52,22 @@ class ImageFolder:
         self.resolution = resolution
         self.batch_size = batch_size
         self.mirror = mirror
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._prefetch = prefetch
+        self._iters = 0
+        self._stop_prev: threading.Event = None
 
     def __len__(self):
         return len(self.paths)
 
-    def _make_batch(self) -> np.ndarray:
-        idx = self._rng.integers(0, len(self.paths), self.batch_size)
+    def _make_batch(self, rng=None) -> np.ndarray:
+        rng = rng if rng is not None else self._rng
+        idx = rng.integers(0, len(self.paths), self.batch_size)
         imgs = np.stack([load_image(self.paths[i], self.resolution)
                          for i in idx])
         if self.mirror:
-            flip = self._rng.random(self.batch_size) < 0.5
+            flip = rng.random(self.batch_size) < 0.5
             imgs[flip] = imgs[flip][..., ::-1]
         return imgs
 
@@ -71,13 +75,33 @@ class ImageFolder:
         if not self._prefetch:
             while True:
                 yield self._make_batch()
+        # Each iterator gets its OWN rng (np.random.Generator is not
+        # thread-safe and an abandoned iterator's worker survives until its
+        # queue fills) and a stop event; starting a new iterator stops the
+        # previous worker, so abandoned iterators neither race the rng nor
+        # leak threads indefinitely.
+        if self._stop_prev is not None:
+            self._stop_prev.set()
+        stop = threading.Event()
+        self._stop_prev = stop
+        rng = np.random.default_rng((self._seed, self._iters))
+        self._iters += 1
         q: queue.Queue = queue.Queue(maxsize=2)
 
         def worker():
-            while True:
-                q.put(self._make_batch())
+            while not stop.is_set():
+                batch = self._make_batch(rng)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.25)
+                        break
+                    except queue.Full:
+                        pass
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            yield q.get()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

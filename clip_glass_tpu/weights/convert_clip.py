@@ -161,7 +161,10 @@ def load_torch_checkpoint(path: str):
         model = torch.jit.load(path, map_location="cpu")
         sd = model.state_dict()
     except Exception:
-        sd = torch.load(path, map_location="cpu")
+        # weights_only=False: this branch exists for full-pickled models,
+        # which torch>=2.6's weights_only default refuses to load (the
+        # sibling converters pass it explicitly too)
+        sd = torch.load(path, map_location="cpu", weights_only=False)
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
     sd = {k: v for k, v in sd.items()

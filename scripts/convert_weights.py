@@ -107,6 +107,7 @@ def main() -> int:
         from clip_glass_tpu.weights import convert_stylegan2
         os.makedirs(args.dst, exist_ok=True)
         src_dir = args.src if os.path.isdir(args.src) else os.path.dirname(args.src)
+        converted = 0
         for name in ("G.pth", "D.pth", "Gs.pth"):
             path = os.path.join(src_dir, name)
             if not os.path.exists(path):
@@ -117,6 +118,11 @@ def main() -> int:
             pytree.save_npz(out, params)
             _save_cfg(os.path.join(args.dst, stem + "_cfg.json"), cfg)
             print(f"{name} ({kind}, {cfg.resolution}px) -> {out}")
+            converted += 1
+        if not converted:
+            # exiting 0 with an empty out dir would read as success to
+            # scripted callers (download_weights.sh's `|| die` pattern)
+            sys.exit(f"no G.pth/D.pth/Gs.pth found under {src_dir!r}")
     elif args.kind == "stylegan2-tf":
         from clip_glass_tpu.weights import convert_stylegan2_tf
         os.makedirs(args.dst, exist_ok=True)

@@ -53,6 +53,33 @@ fetch() {
             || die "download failed: $url"
         mv "$dest.part" "$dest"
     fi
+    _verify_sha "$dest" "$want"
+}
+
+# fetch_any <dest> <url>... — try mirrors in order (hosting moves: the
+# legacy models.huggingface.co S3 bucket is being retired in favor of
+# huggingface.co/<repo>/resolve/main/ URLs); place the file at <dest>
+# manually if every mirror fails.
+fetch_any() {
+    dest="$1"; shift
+    if [ -f "$dest" ]; then
+        echo "already downloaded: $dest"
+        return 0
+    fi
+    mkdir -p "$(dirname "$dest")"
+    for url in "$@"; do
+        echo "fetching $url"
+        if curl -L --fail --retry 3 --output "$dest.part" "$url"; then
+            mv "$dest.part" "$dest"
+            return 0
+        fi
+        echo "  mirror failed, trying next"
+    done
+    die "all mirrors failed; download the checkpoint manually to $dest"
+}
+
+_verify_sha() {
+    dest="$1"; want="${2:-}"
     if [ -n "$want" ]; then
         got=$(sha256sum "$dest" | cut -d' ' -f1)
         [ "$got" = "$want" ] || die "sha256 mismatch for $dest
@@ -88,10 +115,14 @@ clip_rn50() {
 }
 
 gpt2() {
-    # reference download-weights.sh:37
+    # reference download-weights.sh:37 fetches the legacy S3 object; the
+    # current canonical host is the HF hub (same 124M checkpoint — the
+    # converter normalizes both the .g/.b/.w and .weight/.bias layouts)
     dest="$WEIGHTS_DIR/gpt2/gpt2-pytorch_model.bin"
-    fetch "https://s3.amazonaws.com/models.huggingface.co/bert/gpt2-pytorch_model.bin" \
-        "$dest"
+    fetch_any "$dest" \
+        "https://huggingface.co/gpt2/resolve/main/pytorch_model.bin" \
+        "https://s3.amazonaws.com/models.huggingface.co/bert/gpt2-pytorch_model.bin"
+    _verify_sha "$dest"
     $PY "$REPO_DIR/scripts/convert_weights.py" gpt2 "$dest" \
         "$WEIGHTS_DIR/gpt2/gpt2.npz" || die "conversion failed: $dest"
 }
@@ -106,12 +137,18 @@ download_stylegan2() {
         "$WEIGHTS_DIR/stylegan2/$config" || die "conversion failed: $dest"
 }
 
-# download_biggan <model-name>  (HF hub layout, pytorch_pretrained_biggan)
+# download_biggan <model-name>  (pytorch_pretrained_biggan checkpoint
+# layout; the package's own URL map points at the legacy S3 bucket, which
+# is being retired — if both mirrors fail, obtain the
+# <name>-pytorch_model.bin via `pip download pytorch-pretrained-biggan` on
+# a machine with egress and place it at the printed path)
 download_biggan() {
     name="$1"
     dest="$WEIGHTS_DIR/biggan/$name-pytorch_model.bin"
-    fetch "https://s3.amazonaws.com/models.huggingface.co/biggan/$name-pytorch_model.bin" \
-        "$dest"
+    fetch_any "$dest" \
+        "https://s3.amazonaws.com/models.huggingface.co/biggan/$name-pytorch_model.bin" \
+        "https://cdn.huggingface.co/biggan/$name-pytorch_model.bin"
+    _verify_sha "$dest"
     $PY "$REPO_DIR/scripts/convert_weights.py" biggan "$dest" \
         "$WEIGHTS_DIR/biggan/$name.npz" --model-name "$name" \
         || die "conversion failed: $dest"

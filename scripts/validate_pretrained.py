@@ -219,37 +219,42 @@ def validate_stylegan2(wdir, out, ref_dir, config):
         sdir = os.path.join(wdir, "stylegan2", config)
         pkl = os.path.join(sdir, f"stylegan2-{config}.pkl")
         need(sdir)
-        torch = need_torch()
-        need_reference(ref_dir)
 
         import jax
         import jax.numpy as jnp
         from clip_glass_tpu.core.dtypes import FP32
+        from clip_glass_tpu.fitness.generator import _read_cfg_sidecar
         from clip_glass_tpu.models.stylegan2 import model as sg2
         from clip_glass_tpu.utils.image import save_grid
 
-        # --- ours: convert (reuse an existing npz conversion if present)
-        gnpz = os.path.join(sdir, "G.npz")
+        # --- ours: convert (reuse an existing npz conversion if present).
+        # Prefer the EMA generator Gs, like the search pipeline does
+        # (fitness/generator.py _load_stylegan2_checkpoint) — validating
+        # the training snapshot G would eyeball a different network than
+        # the one searches serve.
+        stem = next((s for s in ("Gs", "G") if os.path.exists(
+            os.path.join(sdir, f"{s}.npz"))), None)
         if os.path.exists(pkl):
+            # torch + the reference tree are only needed for the pkl
+            # conversion/parity; the npz render path below is torch-free
+            torch = need_torch()
+            need_reference(ref_dir)
             from clip_glass_tpu.weights import convert_stylegan2_tf as tfc
             nets = tfc.convert_pkl(pkl)
             g_params, cfg, noises = nets.get("Gs") or nets["G"]
-        elif os.path.exists(gnpz):
-            import dataclasses
-            import json
-
+        elif stem is not None:
             from clip_glass_tpu.core import pytree
-            g_params = pytree.restore_lists(pytree.load_npz(gnpz))
-            with open(os.path.join(sdir, "G_cfg.json")) as f:
-                d = json.load(f)
-            known = {f.name for f in dataclasses.fields(sg2.SG2Config)}
-            cfg = sg2.SG2Config(**{k: tuple(v) if isinstance(v, list) else v
-                                   for k, v in d.items() if k in known})
-            with np.load(os.path.join(sdir, "G_noise.npz")) as data:
+            g_params = pytree.restore_lists(pytree.load_npz(
+                os.path.join(sdir, f"{stem}.npz")))
+            cfg = _read_cfg_sidecar(os.path.join(sdir, f"{stem}.npz"),
+                                    sg2.SG2Config)
+            if cfg is None:
+                raise Skip(f"missing {stem}_cfg.json sidecar")
+            with np.load(os.path.join(sdir, f"{stem}_noise.npz")) as data:
                 noises = [jnp.asarray(data[k]) for k in
                           sorted(data.files, key=int)]
         else:
-            raise Skip(f"no {pkl} or {gnpz}")
+            raise Skip(f"no {pkl} or Gs/G npz under {sdir}")
 
         rng = np.random.default_rng(11)
         z = rng.normal(size=(2, cfg.latent_size)).astype(np.float32)
@@ -309,8 +314,8 @@ def validate_biggan(wdir, out, ref_dir, name):
         imgs = np.asarray(jax.jit(lambda p, zz, cc: bg.apply(
             p, zz, cc, 1.0, cfg, FP32))(params, jnp.asarray(z),
                                         jnp.asarray(cls)))
-        # NCHW [-1,1] -> NHWC [0,1]
-        save_grid(np.clip((np.moveaxis(imgs, 1, -1) + 1) / 2, 0, 1),
+        # bg.apply returns NCHW [-1,1]; save_grid consumes NCHW [0,1]
+        save_grid(np.clip((imgs + 1) / 2, 0, 1),
                   os.path.join(out, f"biggan_{name}.jpg"))
         detail = f"rendered {imgs.shape[-1]}px grid"
 

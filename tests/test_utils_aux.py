@@ -161,3 +161,30 @@ def test_enable_compile_cache_respects_env(monkeypatch, tmp_path):
     monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "user"))
     enable_compile_cache(str(tmp_path / "ours"))
     assert jax.config.jax_compilation_cache_dir == before
+
+
+def test_image_folder_prefetch_abandoned_iterator_stops(tmp_path):
+    """Each prefetching iterator owns its RNG and stop event: abandoning an
+    iterator and starting another must neither race the generator state nor
+    leave the first worker producing forever."""
+    import threading
+    import time
+
+    from PIL import Image
+    for i in range(3):
+        Image.fromarray((np.random.default_rng(i).uniform(0, 255, (20, 24, 3))
+                         ).astype(np.uint8)).save(tmp_path / f"img{i}.png")
+    ds = ImageFolder(str(tmp_path), resolution=8, batch_size=2, prefetch=True)
+    it1 = iter(ds)
+    b1 = next(it1)
+    assert b1.shape == (2, 3, 8, 8)
+    n_before = threading.active_count()
+    it2 = iter(ds)  # signals it1's worker to stop
+    b2 = next(it2)
+    assert b2.shape == (2, 3, 8, 8)
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    # the abandoned worker exits once its stop event is set (bounded by the
+    # 0.25 s put timeout); only it2's worker remains
+    assert threading.active_count() <= n_before
