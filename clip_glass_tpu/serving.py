@@ -1,0 +1,220 @@
+"""Continuous-batching search serving: a fixed-slot server over the
+multi-search batched engine.
+
+The reference serves one target per process (reference run.py:22): a new
+prompt pays a fresh process, model load, and compile. `evolve/batched.py`
+already runs K simultaneous searches as ONE compiled program; this module
+turns that into a *server*: K slots stay resident, requests queue, and a
+finished slot is refilled with the next request by a data-only swap — the
+slot's CLIP target-feature row and its GA state are overwritten; shapes
+never change, so admission and harvest NEVER recompile. This is the
+continuous-batching pattern from LLM serving (slot = sequence) applied to
+latent-space search (slot = search), and it is the idiomatic TPU shape for
+it: one static program, state resident in HBM, churn expressed as cheap
+device-side scatters.
+
+Semantics: each admitted request reproduces, bitwise, an independent
+`evolve.minimize` run of the same config seeded with
+`fold_in(server_key, ticket)` (tested in tests/test_serving.py) — slots
+are isolated by construction (vmap; per-slot minibatch-std groups,
+per-slot survival). Generations advance for ALL slots in `chunk`-sized
+jitted dispatches; a request's `n_gen` is rounded UP to a multiple of
+`chunk` (extra generations only continue refining that search's
+population). Idle slots (queue drained) keep evolving their previous
+target; their work is discarded on the next admission — the standard
+padding cost of static-shape batching, reported by `stats()` as the
+occupancy ratio.
+
+Scale-out: the slot axis is the batched engine's search axis —
+embarrassingly parallel, shardable over a mesh with zero cross-chip
+collectives (evolve/batched.py docstring; tests/test_batched.py).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import threading
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from clip_glass_tpu.evolve.algorithm import GAState, Result, extract_result
+from clip_glass_tpu.evolve.batched import (_slice_ctx_of, _slice_state,
+                                           make_batched)
+
+
+@dataclasses.dataclass
+class _Slot:
+    ticket: Optional[int] = None   # None = idle (evolving a stale target)
+    remaining: int = 0             # generations left before harvest
+
+
+@dataclasses.dataclass
+class ServerStats:
+    ticks: int = 0                 # chunk dispatches issued
+    completed: int = 0             # requests harvested
+    useful_evals: int = 0          # candidate evaluations on occupied slots
+    total_evals: int = 0           # including idle-slot padding work
+
+    @property
+    def occupancy(self) -> float:
+        return self.useful_evals / self.total_evals if self.total_evals else 0.0
+
+
+class SearchServer:
+    """Fixed-slot continuous-batching server for one config + weight set.
+
+    >>> server = SearchServer(problem, n_slots=4, chunk=25)
+    >>> t0 = server.submit("a red flower", n_gen=200)
+    >>> t1 = server.submit("a wolf at night", n_gen=200)
+    >>> server.run()                     # pump until queue + slots drain
+    >>> server.results[t0].pop_X         # == independent run, bitwise
+
+    `submit` is thread-safe (a driving thread may pump `run(forever=True)`
+    while request threads submit); everything else must be called from the
+    pumping thread.
+    """
+
+    def __init__(self, problem, n_slots: int, chunk: int = 25,
+                 key=None, search_microbatch: Optional[int] = None,
+                 force_host_eval: bool = False):
+        if n_slots < 1 or chunk < 1:
+            raise ValueError("n_slots and chunk must be >= 1")
+        self.problem = problem
+        self.chunk = int(chunk)
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+        # Placeholder targets: the problem's own target fills idle slots.
+        self.balgo = make_batched(
+            problem, [problem.config.target] * n_slots,
+            force_host_eval=force_host_eval,
+            search_microbatch=search_microbatch)
+        self.state: GAState = self.balgo.init(self.key)
+        self._slots = [_Slot() for _ in range(n_slots)]
+        self._queue: collections.deque = collections.deque()
+        self._lock = threading.Lock()
+        self._next_ticket = 0
+        self._stop = False
+        self.results: Dict[int, Result] = {}
+        self.stats = ServerStats()
+        # Single-slot (re)init, compiled ONCE for the server's lifetime —
+        # same op sequence as Algorithm.init so an admitted slot's
+        # trajectory is bitwise an independent run's.
+        base = self.balgo.base
+        if base.host_eval:
+            sample = jax.jit(base.ops.sample, static_argnums=1)
+
+            def slot_init(key, ctx):
+                k_init, k_eval, key = jax.random.split(key, 3)
+                X0 = sample(k_init, base.pop_size)
+                F0 = base.eval_fn(X0, ctx, k_eval)
+                return GAState(X0, F0, key, jnp.int32(0))
+
+            self._slot_init = slot_init
+        else:
+            @jax.jit
+            def slot_init(key, ctx):
+                k_init, k_eval, key = jax.random.split(key, 3)
+                X0 = base.ops.sample(k_init, base.pop_size)
+                F0 = base.eval_fn(X0, ctx, k_eval)
+                return GAState(X0, F0, key, jnp.int32(0))
+
+            self._slot_init = slot_init
+
+    # ---------------------------------------------------------------- API
+
+    @property
+    def n_slots(self) -> int:
+        return len(self._slots)
+
+    def submit(self, target: str, n_gen: int) -> int:
+        """Enqueue a search request; returns its ticket. `n_gen` rounds up
+        to a multiple of `chunk`. Thread-safe."""
+        if n_gen < 1:
+            raise ValueError("n_gen must be >= 1")
+        n_eff = -(-n_gen // self.chunk) * self.chunk
+        with self._lock:
+            ticket = self._next_ticket
+            self._next_ticket += 1
+            self._queue.append((ticket, target, n_eff))
+        return ticket
+
+    def pending(self) -> int:
+        with self._lock:
+            return len(self._queue)
+
+    def active(self) -> int:
+        return sum(s.ticket is not None for s in self._slots)
+
+    def tick(self) -> bool:
+        """Admit queued requests into free slots, advance every slot by
+        `chunk` generations (one jitted dispatch), harvest finished slots.
+        Returns False when there was nothing to do."""
+        self._admit()
+        occupied = self.active()
+        if occupied == 0:
+            return False
+        self.state = self.balgo._jit_chunk(
+            self.state, self.balgo.ctx, self.chunk)
+        self.stats.ticks += 1
+        per_slot = self.balgo.pop_size * self.chunk
+        self.stats.useful_evals += occupied * per_slot
+        self.stats.total_evals += self.n_slots * per_slot
+        for i, slot in enumerate(self._slots):
+            if slot.ticket is None:
+                continue
+            slot.remaining -= self.chunk
+            if slot.remaining <= 0:
+                self._harvest(i)
+        return True
+
+    def run(self, forever: bool = False) -> None:
+        """Pump ticks until the queue and all slots drain (or, with
+        forever=True, until `stop()` — spin-waits on an empty queue only
+        between submissions from other threads)."""
+        self._stop = False
+        while not self._stop:
+            worked = self.tick()
+            if not worked:
+                if not forever and self.pending() == 0:
+                    return
+                time.sleep(0.005)  # parked: wait for cross-thread submits
+
+    def stop(self) -> None:
+        self._stop = True
+
+    def map(self, targets: Sequence[str], n_gen: int) -> List[Result]:
+        """Convenience: submit all `targets`, run to completion, return
+        results in submission order."""
+        tickets = [self.submit(t, n_gen) for t in targets]
+        self.run()
+        return [self.results[t] for t in tickets]
+
+    # ----------------------------------------------------------- internals
+
+    def _admit(self) -> None:
+        for i, slot in enumerate(self._slots):
+            if slot.ticket is not None:
+                continue
+            with self._lock:
+                if not self._queue:
+                    return
+                ticket, target, n_gen = self._queue.popleft()
+            feat = self.problem.generator.encode_targets([target])
+            self.balgo.ctx["target"] = \
+                self.balgo.ctx["target"].at[i].set(feat)
+            s0 = self._slot_init(jax.random.fold_in(self.key, ticket),
+                                 _slice_ctx_of(self.balgo.ctx, i))
+            self.state = GAState(*[
+                b.at[i].set(v) for b, v in zip(self.state, s0)])
+            slot.ticket, slot.remaining = ticket, n_gen
+
+    def _harvest(self, i: int) -> None:
+        slot = self._slots[i]
+        s = _slice_state(jax.device_get(self.state), i)
+        self.results[slot.ticket] = extract_result(
+            s.X, s.F, self.balgo.algorithm, s)
+        self.stats.completed += 1
+        slot.ticket, slot.remaining = None, 0
