@@ -49,6 +49,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with multiple --target: evaluate the batched "
                         "searches in on-device chunks of this many searches "
                         "(decouples the tenant count from HBM)")
+    p.add_argument("--serve", type=str, default=None, metavar="FILE",
+                   help="serve mode: stream targets (one per line) from FILE "
+                        "('-' = stdin) through a resident continuous-batching "
+                        "server (serving.SearchServer, DESIGN.md §12). "
+                        "--generations is the per-request budget (rounded up "
+                        "to a multiple of --save-each, the dispatch chunk); "
+                        "artifacts land under <tmp-folder>/request-<ticket>/ "
+                        "as each request completes. --target is used only as "
+                        "the idle-slot placeholder (pass an image path for "
+                        "img2txt configs)")
+    p.add_argument("--slots", type=int, default=4,
+                   help="serve mode: resident search slots (requests beyond "
+                        "this queue; finished slots are refilled without "
+                        "recompiling)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quantize", type=str, default="", choices=["", "int8"],
                    help="int8: run the compute-heavy frozen-model convs on "
@@ -160,6 +174,69 @@ def _final_artifacts(problem, config, res, folder, gen_fn):
     problem.generator.save(generated, os.path.join(folder, f"output.{ext}"))
 
 
+def _serve_mode(problem, config, args) -> int:
+    """CLI front of serving.SearchServer: a reader thread streams targets
+    from a file (or stdin) into the queue while the main thread pumps the
+    resident slots; each completed request gets the full reference
+    artifact set (run.py:79-125) under request-<ticket>/."""
+    import sys
+    import threading
+    import time
+
+    import jax
+    from clip_glass_tpu.serving import SearchServer
+
+    gen_fn = jax.jit(lambda X, ctx: problem.generator.generate(X, ctx))
+    server = SearchServer(problem, n_slots=args.slots, chunk=args.save_each,
+                          key=jax.random.PRNGKey(config.seed),
+                          search_microbatch=args.search_microbatch)
+    meta = {}
+    eof = threading.Event()
+
+    def reader():
+        fh = sys.stdin if args.serve == "-" else open(args.serve)
+        try:
+            for line in fh:
+                t = line.strip()
+                if not t:
+                    continue
+                ticket = server.submit(t, n_gen=config.generations)
+                meta[ticket] = t
+                print(f"[serve] queued #{ticket}: {t!r}", flush=True)
+        finally:
+            if fh is not sys.stdin:
+                fh.close()
+            eof.set()
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    written = set()
+    while True:
+        worked = server.tick()
+        for ticket in sorted(set(server.results) - written):
+            res = server.results[ticket]
+            folder = os.path.join(config.tmp_folder, f"request-{ticket:04d}")
+            os.makedirs(folder, exist_ok=True)
+            with open(os.path.join(folder, "target.txt"), "w") as fh:
+                fh.write(meta.get(ticket, ""))
+            _final_artifacts(problem, config, res, folder, gen_fn)
+            if args.verbose:
+                print(f"[serve] done #{ticket}: "
+                      f"best F={float(np.min(res.pop_F)):+.4f} -> {folder}",
+                      flush=True)
+            written.add(ticket)
+        if not worked:
+            if eof.is_set() and not server.pending() and not server.active():
+                break
+            time.sleep(0.05)
+    th.join()
+    s = server.stats
+    if args.verbose:
+        print(f"[serve] {s.completed} requests in {s.ticks} dispatches, "
+              f"slot occupancy {s.occupancy:.0%}")
+    return 0
+
+
 def main(argv=None) -> int:
     import time
     t0 = time.perf_counter()
@@ -206,6 +283,8 @@ def main(argv=None) -> int:
                         else "random:0")
     problem = GenerationProblem(config, clip_weights=clip_weights,
                                 clip_cfg=clip_cfg, model_cfg=model_cfg)
+    if args.serve:
+        return _serve_mode(problem, config, args)
     n_search = len(targets)
     if n_search > 1:
         # K searches (one per --target) batched into ONE compiled program

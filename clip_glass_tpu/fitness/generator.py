@@ -21,6 +21,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -577,15 +578,27 @@ class Generator:
         batching (evolve/batched.py)."""
         if self.config.task == "txt2img":
             toks = jnp.asarray(tokenize(list(targets)))
-            return jax.jit(lambda p, t: clip_model.encode_text(
-                p, t, self.clip_cfg, self.policy))(self.clip_params, toks)
+            return self._jit_encode_text(self.clip_params, toks)
         from PIL import Image
         imgs = jnp.concatenate([
             jnp.asarray(clip_preprocess_pil(Image.open(t),
                                             self.clip_cfg.image_resolution))
             for t in targets], axis=0)
+        return self._jit_encode_image(self.clip_params, imgs)
+
+    # Cached jitted target encoders: encode_targets is called once per
+    # serving admission (serving.SearchServer._admit), and a fresh jax.jit
+    # wrapper per call would retrace every time. One wrapper per Generator
+    # retraces only per distinct target-count shape.
+    @functools.cached_property
+    def _jit_encode_text(self):
+        return jax.jit(lambda p, t: clip_model.encode_text(
+            p, t, self.clip_cfg, self.policy))
+
+    @functools.cached_property
+    def _jit_encode_image(self):
         return jax.jit(lambda p, im: clip_model.encode_image(
-            p, im, self.clip_cfg, self.policy))(self.clip_params, imgs)
+            p, im, self.clip_cfg, self.policy))
 
     def refresh_targets(self):
         """Recompute the cached target features (reference generator.py:22-27)

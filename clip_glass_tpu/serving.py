@@ -162,12 +162,20 @@ class SearchServer:
         per_slot = self.balgo.pop_size * self.chunk
         self.stats.useful_evals += occupied * per_slot
         self.stats.total_evals += self.n_slots * per_slot
+        finished = []
         for i, slot in enumerate(self._slots):
             if slot.ticket is None:
                 continue
             slot.remaining -= self.chunk
             if slot.remaining <= 0:
-                self._harvest(i)
+                finished.append(i)
+        if finished:
+            # ONE device->host pull for all finished slots (the pull is the
+            # only synchronization point in the serve loop; per-slot pulls
+            # would pay the transfer latency once per harvest)
+            host_state = jax.device_get(self.state)
+            for i in finished:
+                self._harvest(i, host_state)
         return True
 
     def run(self, forever: bool = False) -> None:
@@ -211,9 +219,9 @@ class SearchServer:
                 b.at[i].set(v) for b, v in zip(self.state, s0)])
             slot.ticket, slot.remaining = ticket, n_gen
 
-    def _harvest(self, i: int) -> None:
+    def _harvest(self, i: int, host_state: GAState) -> None:
         slot = self._slots[i]
-        s = _slice_state(jax.device_get(self.state), i)
+        s = _slice_state(host_state, i)
         self.results[slot.ticket] = extract_result(
             s.X, s.F, self.balgo.algorithm, s)
         self.stats.completed += 1

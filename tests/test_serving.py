@@ -5,6 +5,7 @@ through resident slots must reproduce independent `evolve.minimize` runs
 mid-flight admission."""
 
 import dataclasses
+import os
 import threading
 
 import numpy as np
@@ -131,6 +132,27 @@ def test_server_host_eval_img2txt():
         ref = minimize(algo, n_gen=2,
                        key=jax.random.fold_in(server.key, ticket))
         np.testing.assert_allclose(res.pop_X, ref.pop_X, rtol=1e-5, atol=1e-5)
+
+
+def test_cli_serve_mode(tmp_path):
+    """--serve FILE: streamed requests each get the reference artifact set
+    under request-<ticket>/ (reference run.py:79-125 per request)."""
+    from clip_glass_tpu.cli import main
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("a red flower\na blue car\nan old house\n")
+    tmp = str(tmp_path / "out")
+    rc = main(["--config", "StyleGAN2_ffhq_d", "--tiny", "--pop-size", "8",
+               "--serve", str(prompts), "--slots", "2",
+               "--generations", "2", "--save-each", "2",
+               "--tmp-folder", tmp])
+    assert rc == 0
+    for i in range(3):
+        folder = os.path.join(tmp, f"request-{i:04d}")
+        for name in ("output.jpg", "genetic_result", "F.jpg",
+                     "ls_result.npz", "target.txt"):
+            assert os.path.exists(os.path.join(folder, name)), (i, name)
+    with open(os.path.join(tmp, "request-0001", "target.txt")) as f:
+        assert f.read() == "a blue car"
 
 
 def test_server_map_convenience():
