@@ -178,58 +178,69 @@ def _serve_mode(problem, config, args) -> int:
     """CLI front of serving.SearchServer: a reader thread streams targets
     from a file (or stdin) into the queue while the main thread pumps the
     resident slots; each completed request gets the full reference
-    artifact set (run.py:79-125) under request-<ticket>/."""
+    artifact set (run.py:79-125) under request-<ticket>/. Artifact writing
+    (device pulls + JPEG encode) runs on a one-worker saver thread so
+    harvested-slot I/O overlaps the next dispatched chunk."""
     import sys
     import threading
     import time
+    from concurrent.futures import ThreadPoolExecutor
 
     import jax
     from clip_glass_tpu.serving import SearchServer
+
+    # Open the serve source in the MAIN thread: a bad --serve path fails
+    # fast with a nonzero exit instead of dying inside the reader thread
+    # while the CLI exits 0 having served nothing.
+    src = sys.stdin if args.serve == "-" else open(args.serve)
 
     gen_fn = jax.jit(lambda X, ctx: problem.generator.generate(X, ctx))
     server = SearchServer(problem, n_slots=args.slots, chunk=args.save_each,
                           key=jax.random.PRNGKey(config.seed),
                           search_microbatch=args.search_microbatch)
-    meta = {}
     eof = threading.Event()
 
     def reader():
-        fh = sys.stdin if args.serve == "-" else open(args.serve)
         try:
-            for line in fh:
+            for line in src:
                 t = line.strip()
                 if not t:
                     continue
                 ticket = server.submit(t, n_gen=config.generations)
-                meta[ticket] = t
                 print(f"[serve] queued #{ticket}: {t!r}", flush=True)
         finally:
-            if fh is not sys.stdin:
-                fh.close()
+            if src is not sys.stdin:
+                src.close()
             eof.set()
+
+    def _write_artifacts(ticket, res):
+        folder = os.path.join(config.tmp_folder, f"request-{ticket:04d}")
+        os.makedirs(folder, exist_ok=True)
+        with open(os.path.join(folder, "target.txt"), "w") as fh:
+            fh.write(server.meta.get(ticket, ""))
+        _final_artifacts(problem, config, res, folder, gen_fn)
+        if args.verbose:
+            print(f"[serve] done #{ticket}: "
+                  f"best F={float(np.min(res.pop_F)):+.4f} -> {folder}",
+                  flush=True)
 
     th = threading.Thread(target=reader, daemon=True)
     th.start()
-    written = set()
+    saver = ThreadPoolExecutor(max_workers=1)
+    pending = {}
     while True:
         worked = server.tick()
-        for ticket in sorted(set(server.results) - written):
-            res = server.results[ticket]
-            folder = os.path.join(config.tmp_folder, f"request-{ticket:04d}")
-            os.makedirs(folder, exist_ok=True)
-            with open(os.path.join(folder, "target.txt"), "w") as fh:
-                fh.write(meta.get(ticket, ""))
-            _final_artifacts(problem, config, res, folder, gen_fn)
-            if args.verbose:
-                print(f"[serve] done #{ticket}: "
-                      f"best F={float(np.min(res.pop_F)):+.4f} -> {folder}",
-                      flush=True)
-            written.add(ticket)
+        for ticket in sorted(set(server.results) - set(pending)):
+            pending[ticket] = saver.submit(
+                _write_artifacts, ticket, server.results[ticket])
         if not worked:
             if eof.is_set() and not server.pending() and not server.active():
                 break
             time.sleep(0.05)
     th.join()
+    for fut in pending.values():   # surface any artifact-write error
+        fut.result()
+    saver.shutdown()
     s = server.stats
     if args.verbose:
         print(f"[serve] {s.completed} requests in {s.ticks} dispatches, "
@@ -281,6 +292,18 @@ def main(argv=None) -> int:
         clip_weights = (default_clip
                         if os.path.exists(default_clip) and not args.tiny
                         else "random:0")
+    if args.serve and args.serve != "-" and not os.path.exists(args.serve):
+        build_parser().error(f"--serve file not found: {args.serve}")
+    if args.serve and (args.mesh or args.resume):
+        build_parser().error(
+            "--serve does not support --mesh or --resume (server state is "
+            "resident and per-request; shard searches by running one serve "
+            "process per device group instead)")
+    if args.serve and len(targets) > 1:
+        print("[serve] note: only the first --target is used (as the "
+              "idle-slot placeholder); serve requests come from the "
+              f"--serve stream, ignoring {len(targets) - 1} extra target(s)")
+
     problem = GenerationProblem(config, clip_weights=clip_weights,
                                 clip_cfg=clip_cfg, model_cfg=model_cfg)
     if args.serve:

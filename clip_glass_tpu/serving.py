@@ -98,6 +98,10 @@ class SearchServer:
         self._next_ticket = 0
         self._stop = False
         self.results: Dict[int, Result] = {}
+        self.meta: Dict[int, str] = {}   # ticket -> target, set in submit()
+        # ticket -> (feat, s0) admission work prepared while a chunk is in
+        # flight (see _prefetch); consumed by _admit
+        self._prepared: Dict[int, tuple] = {}
         self.stats = ServerStats()
         # Single-slot (re)init, compiled ONCE for the server's lifetime —
         # same op sequence as Algorithm.init so an admitted slot's
@@ -131,13 +135,16 @@ class SearchServer:
 
     def submit(self, target: str, n_gen: int) -> int:
         """Enqueue a search request; returns its ticket. `n_gen` rounds up
-        to a multiple of `chunk`. Thread-safe."""
+        to a multiple of `chunk`. Thread-safe. The target is recorded in
+        `self.meta[ticket]` BEFORE the request becomes admittable, so a
+        pump thread that harvests the request immediately still sees it."""
         if n_gen < 1:
             raise ValueError("n_gen must be >= 1")
         n_eff = -(-n_gen // self.chunk) * self.chunk
         with self._lock:
             ticket = self._next_ticket
             self._next_ticket += 1
+            self.meta[ticket] = target
             self._queue.append((ticket, target, n_eff))
         return ticket
 
@@ -158,6 +165,13 @@ class SearchServer:
             return False
         self.state = self.balgo._jit_chunk(
             self.state, self.balgo.ctx, self.chunk)
+        # The dispatch above is async: while the chunk runs, prepare the
+        # next queued requests' admission work (target CLIP-encode +
+        # single-slot init) so the next _admit only scatters. The host-side
+        # cost (tokenization, cache lookups, dispatch RPC over the device
+        # tunnel) overlaps the in-flight chunk instead of extending the
+        # inter-chunk gap.
+        self._prefetch()
         self.stats.ticks += 1
         per_slot = self.balgo.pop_size * self.chunk
         self.stats.useful_evals += occupied * per_slot
@@ -181,13 +195,23 @@ class SearchServer:
     def run(self, forever: bool = False) -> None:
         """Pump ticks until the queue and all slots drain (or, with
         forever=True, until `stop()` — spin-waits on an empty queue only
-        between submissions from other threads)."""
+        between submissions from other threads).
+
+        With forever=False, every submit() that completed (returned) before
+        run() observes an empty queue is served; a submit racing with that
+        final check may be left queued for a later run()/tick() — callers
+        mixing concurrent submits with a draining run() should use
+        forever=True + stop(), or re-invoke run()."""
         self._stop = False
         while not self._stop:
             worked = self.tick()
-            if not worked:
-                if not forever and self.pending() == 0:
-                    return
+            if worked:
+                continue
+            if not forever:
+                with self._lock:   # re-check under the lock before exiting
+                    if not self._queue:
+                        return
+            else:
                 time.sleep(0.005)  # parked: wait for cross-thread submits
 
     def stop(self) -> None:
@@ -202,6 +226,29 @@ class SearchServer:
 
     # ----------------------------------------------------------- internals
 
+    def _prepare(self, ticket: int, target: str):
+        """Slot-independent admission work for one request: the target's
+        CLIP feature row and an initialized single-search state (same op
+        sequence as Algorithm.init — bitwise an independent run's). The
+        sliced ctx differs from the batched ctx only in its target row, so
+        this never needs to know which slot the request will land in."""
+        feat = self.problem.generator.encode_targets([target])
+        rest = {k: v for k, v in self.balgo.ctx.items() if k != "target"}
+        s0 = self._slot_init(jax.random.fold_in(self.key, ticket),
+                             {**rest, "target": feat})
+        return feat, s0
+
+    def _prefetch(self) -> None:
+        """Prepare admission work for the head of the queue (up to one
+        server's worth of requests) while the dispatched chunk is in
+        flight. Pure dispatch — device programs queue behind the chunk;
+        the host returns immediately."""
+        with self._lock:
+            head = list(self._queue)[:self.n_slots]
+        for ticket, target, _ in head:
+            if ticket not in self._prepared:
+                self._prepared[ticket] = self._prepare(ticket, target)
+
     def _admit(self) -> None:
         for i, slot in enumerate(self._slots):
             if slot.ticket is not None:
@@ -210,11 +257,10 @@ class SearchServer:
                 if not self._queue:
                     return
                 ticket, target, n_gen = self._queue.popleft()
-            feat = self.problem.generator.encode_targets([target])
+            feat, s0 = (self._prepared.pop(ticket, None)
+                        or self._prepare(ticket, target))
             self.balgo.ctx["target"] = \
                 self.balgo.ctx["target"].at[i].set(feat)
-            s0 = self._slot_init(jax.random.fold_in(self.key, ticket),
-                                 _slice_ctx_of(self.balgo.ctx, i))
             self.state = GAState(*[
                 b.at[i].set(v) for b, v in zip(self.state, s0)])
             slot.ticket, slot.remaining = ticket, n_gen
