@@ -42,8 +42,8 @@ import jax
 import jax.numpy as jnp
 
 from clip_glass_tpu.evolve.algorithm import GAState, Result, extract_result
-from clip_glass_tpu.evolve.batched import (_slice_ctx_of, _slice_state,
-                                           make_batched)
+from clip_glass_tpu.evolve.batched import (_ctx_axes, _slice_ctx_of,
+                                           _slice_state, make_batched)
 
 
 @dataclasses.dataclass
@@ -58,6 +58,11 @@ class ServerStats:
     completed: int = 0             # requests harvested
     useful_evals: int = 0          # candidate evaluations on occupied slots
     total_evals: int = 0           # including idle-slot padding work
+    # initial-population evaluations for admitted requests (real scored
+    # candidates — the GA's generation-0 fitness — but excluded from
+    # useful_evals so rates stay comparable with steady-state numbers,
+    # where the one-off init is amortized to nothing)
+    admission_evals: int = 0
 
     @property
     def occupancy(self) -> float:
@@ -117,6 +122,7 @@ class SearchServer:
                 return GAState(X0, F0, key, jnp.int32(0))
 
             self._slot_init = slot_init
+            self._batch_init = None
         else:
             @jax.jit
             def slot_init(key, ctx):
@@ -126,6 +132,27 @@ class SearchServer:
                 return GAState(X0, F0, key, jnp.int32(0))
 
             self._slot_init = slot_init
+
+            # Batched admission init: all pending requests' initial
+            # populations evaluate in ONE vmapped program at full-batch
+            # (n_slots x pop) MXU efficiency — a chain of single-slot
+            # inits runs the convs at pop-sized batch, measurably slower
+            # per candidate. Always called with exactly n_slots rows
+            # (padded by repetition, pads discarded), so ONE executable
+            # serves the server's lifetime. vmap(one) row i is bitwise
+            # slot_init's output — the per-search-bitwise property the
+            # whole batched engine rests on (tests/test_batched.py).
+            @jax.jit
+            def batch_init(keys, ctx):
+                def one(k, c):
+                    k_init, k_eval, k2 = jax.random.split(k, 3)
+                    X0 = base.ops.sample(k_init, base.pop_size)
+                    F0 = base.eval_fn(X0, c, k_eval)
+                    return GAState(X0, F0, k2, jnp.int32(0))
+                vinit = jax.vmap(one, in_axes=(0, _ctx_axes(ctx)))
+                return self.balgo._search_chunked(vinit)(keys, ctx)
+
+            self._batch_init = batch_init
 
     # ---------------------------------------------------------------- API
 
@@ -156,41 +183,57 @@ class SearchServer:
         return sum(s.ticket is not None for s in self._slots)
 
     def tick(self) -> bool:
-        """Admit queued requests into free slots, advance every slot by
-        `chunk` generations (one jitted dispatch), harvest finished slots.
-        Returns False when there was nothing to do."""
+        """Harvest-admit-dispatch cycle: mark slots that finished on the
+        previous dispatch free (keeping a reference to their final state),
+        admit queued requests into free slots, advance every occupied slot
+        by `chunk` generations (one async jitted dispatch), and only THEN
+        pull the finished slots' results — the device→host transfer and
+        the host-side result extraction overlap the next chunk's execution
+        instead of idling the device. Returns False when there was nothing
+        to do."""
+        # Finished slots (from the previous tick's dispatch): free their
+        # bookkeeping now so _admit can refill them this tick, but extract
+        # results only after the next chunk is dispatched. Their final
+        # populations are gathered into a compact fresh pytree FIRST —
+        # _jit_chunk donates its state argument, so the pre-dispatch buffers
+        # are deleted once the next chunk is dispatched; the gather (a cheap
+        # async device op) owns independent buffers.
+        harvest = []
+        snapshot = None
+        for i, slot in enumerate(self._slots):
+            if slot.ticket is not None and slot.remaining <= 0:
+                harvest.append((i, slot.ticket))
+                slot.ticket, slot.remaining = None, 0
+        if harvest:
+            gidx = jnp.asarray([i for i, _ in harvest], dtype=jnp.int32)
+            snapshot = jax.tree.map(lambda x: x[gidx], self.state)
         self._admit()
         occupied = self.active()
-        if occupied == 0:
-            return False
-        self.state = self.balgo._jit_chunk(
-            self.state, self.balgo.ctx, self.chunk)
-        # The dispatch above is async: while the chunk runs, prepare the
-        # next queued requests' admission work (target CLIP-encode +
-        # single-slot init) so the next _admit only scatters. The host-side
-        # cost (tokenization, cache lookups, dispatch RPC over the device
-        # tunnel) overlaps the in-flight chunk instead of extending the
-        # inter-chunk gap.
-        self._prefetch()
-        self.stats.ticks += 1
-        per_slot = self.balgo.pop_size * self.chunk
-        self.stats.useful_evals += occupied * per_slot
-        self.stats.total_evals += self.n_slots * per_slot
-        finished = []
-        for i, slot in enumerate(self._slots):
-            if slot.ticket is None:
-                continue
-            slot.remaining -= self.chunk
-            if slot.remaining <= 0:
-                finished.append(i)
-        if finished:
-            # ONE device->host pull for all finished slots (the pull is the
-            # only synchronization point in the serve loop; per-slot pulls
-            # would pay the transfer latency once per harvest)
-            host_state = jax.device_get(self.state)
-            for i in finished:
-                self._harvest(i, host_state)
-        return True
+        if occupied:
+            self.state = self.balgo._jit_chunk(
+                self.state, self.balgo.ctx, self.chunk)
+            # The dispatch above is async: while the chunk runs, prepare
+            # the next queued requests' admission work (target CLIP-encode
+            # + single-slot init) so the next _admit only scatters. The
+            # host-side cost (tokenization, cache lookups, dispatch RPC
+            # over the device tunnel) overlaps the in-flight chunk instead
+            # of extending the inter-chunk gap.
+            self._prefetch()
+            self.stats.ticks += 1
+            per_slot = self.balgo.pop_size * self.chunk
+            self.stats.useful_evals += occupied * per_slot
+            self.stats.total_evals += self.n_slots * per_slot
+            for slot in self._slots:
+                if slot.ticket is not None:
+                    slot.remaining -= self.chunk
+        if harvest:
+            # ONE device->host pull for all finished slots; with a chunk in
+            # flight it completes as soon as the gathered buffers land,
+            # without waiting on (or stalling) the new dispatch.
+            host_state = jax.device_get(snapshot)
+            for j, (_, ticket) in enumerate(harvest):
+                self._harvest(j, ticket, host_state)
+        return bool(occupied or harvest)
 
     def run(self, forever: bool = False) -> None:
         """Pump ticks until the queue and all slots drain (or, with
@@ -238,37 +281,83 @@ class SearchServer:
                              {**rest, "target": feat})
         return feat, s0
 
+    def _prepare_many(self, items) -> Dict[int, tuple]:
+        """Admission work for several requests at once: `items` is a list
+        of (ticket, target); returns {ticket: (feat, s0)}. When the batched
+        init program is available, each block of up to n_slots requests
+        initializes in ONE vmapped dispatch (targets encoded in one call,
+        rows padded by repetition and discarded) — per-request results are
+        bitwise `_prepare`'s."""
+        if not items:
+            return {}
+        if self._batch_init is None:
+            return {t: self._prepare(t, tgt) for t, tgt in items}
+        K = self.n_slots
+        rest = {k: v for k, v in self.balgo.ctx.items() if k != "target"}
+        out = {}
+        for start in range(0, len(items), K):
+            block = items[start:start + K]
+            feats = self.problem.generator.encode_targets(
+                [tgt for _, tgt in block])                       # [M, D]
+            keys = jnp.stack([jax.random.fold_in(self.key, t)
+                              for t, _ in block])
+            if len(block) < K:   # pad to the compiled row count
+                pad = K - len(block)
+                feats = jnp.concatenate(
+                    [feats, jnp.repeat(feats[-1:], pad, axis=0)])
+                keys = jnp.concatenate(
+                    [keys, jnp.repeat(keys[-1:], pad, axis=0)])
+            bstate = self._batch_init(
+                keys, {**rest, "target": feats[:, None, :]})
+            for j, (t, _) in enumerate(block):
+                out[t] = (feats[j:j + 1], _slice_state(bstate, j))
+        return out
+
     def _prefetch(self) -> None:
         """Prepare admission work for the head of the queue (up to one
         server's worth of requests) while the dispatched chunk is in
         flight. Pure dispatch — device programs queue behind the chunk;
         the host returns immediately."""
         with self._lock:
-            head = list(self._queue)[:self.n_slots]
-        for ticket, target, _ in head:
-            if ticket not in self._prepared:
-                self._prepared[ticket] = self._prepare(ticket, target)
+            head = [(t, tgt) for t, tgt, _ in list(self._queue)[:self.n_slots]]
+        self._prepared.update(self._prepare_many(
+            [(t, tgt) for t, tgt in head if t not in self._prepared]))
 
     def _admit(self) -> None:
-        for i, slot in enumerate(self._slots):
-            if slot.ticket is not None:
-                continue
-            with self._lock:
-                if not self._queue:
-                    return
-                ticket, target, n_gen = self._queue.popleft()
-            feat, s0 = (self._prepared.pop(ticket, None)
-                        or self._prepare(ticket, target))
-            self.balgo.ctx["target"] = \
-                self.balgo.ctx["target"].at[i].set(feat)
-            self.state = GAState(*[
-                b.at[i].set(v) for b, v in zip(self.state, s0)])
-            slot.ticket, slot.remaining = ticket, n_gen
+        free = [i for i, s in enumerate(self._slots) if s.ticket is None]
+        if not free:
+            return
+        picked = []   # (ticket, target, n_gen) popped this tick
+        with self._lock:
+            while self._queue and len(picked) < len(free):
+                picked.append(self._queue.popleft())
+        if not picked:
+            return
+        self._prepared.update(self._prepare_many(
+            [(t, tgt) for t, tgt, _ in picked if t not in self._prepared]))
+        self.stats.admission_evals += len(picked) * self.balgo.pop_size
+        taken = []   # (slot_index, feat, s0) admitted this tick
+        for (ticket, _, n_gen), i in zip(picked, free):
+            feat, s0 = self._prepared.pop(ticket)
+            taken.append((i, feat, s0))
+            self._slots[i].ticket = ticket
+            self._slots[i].remaining = n_gen
+        # ONE scatter per leaf for all admitted slots (per-slot .at[i].set
+        # chains cost a dispatch round-trip each — at high churn that is
+        # the dominant admission overhead on a tunneled device)
+        idx = jnp.array([i for i, _, _ in taken], dtype=jnp.int32)
+        feats = jnp.stack([f for _, f, _ in taken])          # [M, 1, D]
+        self.balgo.ctx["target"] = \
+            self.balgo.ctx["target"].at[idx].set(feats)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[s0 for _, _, s0 in taken])
+        self.state = GAState(*[
+            b.at[idx].set(v) for b, v in zip(self.state, stacked)])
 
-    def _harvest(self, i: int, host_state: GAState) -> None:
-        slot = self._slots[i]
-        s = _slice_state(host_state, i)
-        self.results[slot.ticket] = extract_result(
+    def _harvest(self, j: int, ticket: int, host_state: GAState) -> None:
+        """Extract the result for `ticket` from row `j` of the compacted
+        harvest pytree (host-side)."""
+        s = _slice_state(host_state, j)
+        self.results[ticket] = extract_result(
             s.X, s.F, self.balgo.algorithm, s)
         self.stats.completed += 1
-        slot.ticket, slot.remaining = None, 0

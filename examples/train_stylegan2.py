@@ -50,6 +50,10 @@ def main():
                          "noise images when omitted")
     ap.add_argument("--mesh", action="store_true",
                     help="batch-shard reals over all visible devices")
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="additionally write tensorboard event files under "
+                         "<out>/logs/tb (needs a tensorboard backend; "
+                         "reference train.py:620-635)")
     ap.add_argument("--out", default="./tmp_train_example")
     args = ap.parse_args()
 
@@ -89,9 +93,11 @@ def main():
                 yield jax.device_put(jnp.asarray(b), sharded)
         data = shard(base)
 
-    # scalar CSV + image-grid sinks (reference train.py:620-635, 761-777)
+    # scalar CSV + image-grid sinks (reference train.py:620-635, 761-777);
+    # --tensorboard mirrors both into event files under logs/tb
     sinks = TrainLogger(os.path.join(args.out, "logs"),
-                        image_every=max(args.iterations // 2, 1))
+                        image_every=max(args.iterations // 2, 1),
+                        tensorboard=args.tensorboard)
     logs = trainer.train(data, args.iterations, log_every=1, sinks=sinks)
     folder = trainer.save_checkpoint()
 

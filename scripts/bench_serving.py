@@ -71,6 +71,11 @@ def main():
         "value": round(s.useful_evals / dt / n_chips, 1),
         "unit": "candidates/s/chip",
         "raw_incl_padding": round(s.total_evals / dt / n_chips, 1),
+        # each admitted request also scores its initial population (the
+        # GA's generation-0 fitness) — real served work that steady-state
+        # rates amortize away; counted separately for comparability
+        "incl_admission_evals": round(
+            (s.useful_evals + s.admission_evals) / dt / n_chips, 1),
         "occupancy": round(s.occupancy, 4),
         "completed": s.completed,
         "dispatches": s.ticks,

@@ -220,6 +220,43 @@ def test_scalar_and_image_sinks(tmp_path):
     assert imgs == ["fakes_2.jpg", "fakes_4.jpg"]
 
 
+def test_tensorboard_sink_roundtrip(tmp_path):
+    """The optional event-file sink (reference train.py:620-635, 761-777)
+    must write scalars and images that tensorboard can actually read back,
+    with values matching the CSV sink's."""
+    from clip_glass_tpu.training.logging import TensorboardSink, TrainLogger
+    if not TensorboardSink.available():
+        pytest.skip("no tensorboard backend installed")
+    ea_mod = pytest.importorskip(
+        "tensorboard.backend.event_processing.event_accumulator")
+    import os
+
+    run_dir = str(tmp_path / "run")
+    sinks = TrainLogger(run_dir, image_every=2, n_image_latents=2,
+                        tensorboard=True)
+    cfg = TrainerConfig(batch_size=4, checkpoint_every=0)
+    tr = Trainer(model_cfg=sg2.TINY, cfg=cfg)
+    tr.train(_data(), iterations=2, log_every=1,
+             logger=lambda s, v: None, sinks=sinks)
+    sinks.tb.flush()
+    sinks.tb.close()
+
+    acc = ea_mod.EventAccumulator(
+        os.path.join(run_dir, "tb"),
+        size_guidance={ea_mod.SCALARS: 0, ea_mod.IMAGES: 0})
+    acc.Reload()
+    got = {(e.step, tag): e.value
+           for tag in acc.Tags()["scalars"]
+           for e in acc.Scalars(tag)}
+    csv_rows = {(s, t): v for s, t, v in sinks.scalars.read()}
+    assert set(got) == set(csv_rows)
+    for k, v in csv_rows.items():
+        np.testing.assert_allclose(got[k], v, rtol=1e-5)
+    # image grid at step 2 (image_every=2) landed as an image event
+    img_tags = acc.Tags()["images"]
+    assert any(t.startswith("fakes") for t in img_tags)
+
+
 # ------------------------------------------------------------ review fixes
 
 def test_dlatent_avg_tracks_mapping_mean(trainer):
