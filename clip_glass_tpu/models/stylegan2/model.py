@@ -338,7 +338,7 @@ def rgb_domain(cfg: SG2Config) -> str:
 
 def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
                     noise="random", noise_key=None, policy: Policy = FP32,
-                    output_s2d: bool = False):
+                    output_s2d: bool = False, s2d: Optional[bool] = None):
     """dlatents: [B, num_latents, D] -> images [B, C, H, W] in [-1, 1]
     (reference stylegan2/models.py:969-1014).
 
@@ -350,8 +350,21 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
     ([B, nh, nw, 4*data_ch] at lattice s2d_output_offset(cfg), zero
     phantoms). The fitness path feeds it to the matching discriminator/
     resize entry without ever interleaving.
+
+    `s2d` selects the execution domain: None = auto (cfg-gated, the frozen
+    fitness/inference default), False = force the plain domain. Training
+    and any other DIFFERENTIATED use must pass False: the s2d fold builders
+    compose per-style (per-sample) kernel tensors, which is the right trade
+    for frozen inference but multiplies autodiff's saved-activation
+    footprint by the kernel-composition chains (trainer AOT: 1024px step
+    20.5 -> fits-16GiB per device on the plain domain).
     """
     from clip_glass_tpu.ops import s2d as s2d_ops
+
+    allow_s2d = _s2d_supported(cfg) if s2d is None else (
+        s2d and _s2d_supported(cfg))
+    if output_s2d and not allow_s2d:
+        raise ValueError("output_s2d=True requires the s2d domain")
 
     B = dlatents.shape[0]
     dl = policy.cast_compute(dlatents)
@@ -371,7 +384,7 @@ def synthesis_apply(params, dlatents, cfg: SG2Config = CONFIG_F,
     for bi, (in_ch, out_ch, up, n_layers) in enumerate(blocks):
         if up:
             res *= 2
-        use_s2d = _s2d_supported(cfg) and res >= cfg.s2d_min_res
+        use_s2d = allow_s2d and res >= cfg.s2d_min_res
         bp = params["blocks"][bi]
         for li in range(n_layers):
             lp = bp["layers"][li]
@@ -547,7 +560,8 @@ def generator_apply(params, latents=None, cfg: SG2Config = CONFIG_F,
                     truncation_cutoff: Optional[int] = None,
                     noise="random", noise_key=None, policy: Policy = FP32,
                     output_s2d: bool = False, dlatents=None,
-                    latent_to_layer_idx=None, mix_key=None):
+                    latent_to_layer_idx=None, mix_key=None,
+                    s2d: Optional[bool] = None):
     """Full G: z -> mapping -> distribute to num_latents -> (truncate) ->
     synthesis (reference stylegan2/models.py:326-482). The CLIP-GLaSS search
     path calls G(z) with no truncation configured (reference models.py:108-118;
@@ -580,7 +594,7 @@ def generator_apply(params, latents=None, cfg: SG2Config = CONFIG_F,
                                 latent_to_layer_idx, mix_key)
     return synthesis_apply(params["synthesis"], dl, cfg,
                            noise=noise, noise_key=noise_key, policy=policy,
-                           output_s2d=output_s2d)
+                           output_s2d=output_s2d, s2d=s2d)
 
 
 def discriminator_apply(params, images, cfg: SG2Config = CONFIG_F,

@@ -115,8 +115,10 @@ class Projector:
         mcfg = self.model_cfg
 
         def synth(dlatents, noises):
+            # s2d=False: the projector differentiates through synthesis
+            # (see synthesis_apply docstring on domains under autodiff)
             return sg2.synthesis_apply(self.g_params["synthesis"], dlatents,
-                                       mcfg, noise=list(noises))
+                                       mcfg, noise=list(noises), s2d=False)
 
         def noise_reg(noises):
             """Multiscale shift-correlation penalty (reference project.py:274-286)."""

@@ -81,19 +81,23 @@ def r2_penalty(d_apply: Callable, params, fakes, gamma: float = 10.0) -> jnp.nda
 
 def path_length_reg(synthesis_apply: Callable, params, dlatents, key,
                     pl_avg: jnp.ndarray, pl_decay: float = 0.01,
-                    pl_weight: float = 2.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    pl_weight: float = 2.0,
+                    shard=lambda x: x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Path-length regularization (loss_fns.py:198-243): penalize deviation
     of |J^T y| from its running mean; returns (penalty, new_pl_avg).
 
     dlatents: [B, n_latents, D]. The random projection y ~ N(0,1)/sqrt(HW)
     contracts the image Jacobian to one vector per sample via a vjp.
+    `shard` constrains the image-sized random projection to the caller's
+    batch sharding (an unconstrained root this size invites GSPMD to
+    replicate the whole vjp graph per device).
     """
     def synth(dl):
         return synthesis_apply(params, dl)
 
     imgs, vjp_fn = jax.vjp(synth, dlatents)
     H, W = imgs.shape[-2:]
-    y = jax.random.normal(key, imgs.shape) / jnp.sqrt(H * W)
+    y = shard(jax.random.normal(key, imgs.shape)) / jnp.sqrt(H * W)
     (grads,) = vjp_fn(y)
     lengths = jnp.sqrt(jnp.mean(
         jnp.sum(jnp.square(grads), axis=-1), axis=-1) + 1e-8)  # [B]

@@ -49,7 +49,11 @@ class TrainerConfig:
     beta1: float = 0.0
     beta2: float = 0.99
     eps: float = 1e-8
-    g_reg_interval: int = 4        # path-length cadence (reference train.py:101-124)
+    # regularizer cadences (reference train.py:101-124); 0 disables the
+    # phase STATICALLY (it is omitted from the compiled step entirely, like
+    # the reference's pl_reg_weight/r1_reg_weight <= 0 branches,
+    # loss_fns.py dispatch)
+    g_reg_interval: int = 4        # path-length cadence
     d_reg_interval: int = 16       # R1 cadence
     r1_gamma: float = 10.0
     pl_weight: float = 2.0
@@ -127,16 +131,32 @@ def _lazy_lr(lr: float, beta1: float, beta2: float, interval: int):
 class Trainer:
     def __init__(self, model_cfg: sg2.SG2Config = None,
                  cfg: TrainerConfig = None,
-                 g_params=None, d_params=None):
+                 g_params=None, d_params=None, abstract: bool = False,
+                 mesh=None, batch_axes=None):
+        """With abstract=True nothing is materialized: `state` is a pytree
+        of ShapeDtypeStructs, usable only to AOT-lower `_train_step` (the
+        full-size sharded memory check in __graft_entry__.dryrun_multichip
+        compiles the config-f 1024px step from shapes alone this way).
+
+        `mesh` (+ `batch_axes`, default: all mesh axes) turns on GSPMD data
+        parallelism INSIDE the step: the latent roots (z draws) and the
+        reals are constrained to the batch sharding, so the generator/
+        discriminator activations stay batch-sharded end to end. Without
+        the constraint the fakes pipeline hangs off an unconstrained
+        jax.random.normal and GSPMD is free to replicate the whole G
+        forward per device — at 1024px that is the difference between
+        ~2.5 and ~20 GiB/device. This replaces the reference's explicit
+        NCCL all_reduce/broadcast (stylegan2/train.py:400-430): gradients
+        reduce through XLA collectives wherever the batch axis contracts."""
         self.model_cfg = model_cfg or sg2.TINY
         self.cfg = cfg or TrainerConfig()
+        self.mesh = mesh
+        self.batch_axes = (tuple(batch_axes) if batch_axes is not None
+                           else (tuple(mesh.axis_names) if mesh is not None
+                                 else None))
         self.metrics: Dict[str, Callable] = {}
         key = jax.random.PRNGKey(self.cfg.seed)
         kg, kd, self._key = jax.random.split(key, 3)
-        if g_params is None:
-            g_params = jax.jit(lambda k: sg2.generator_init(k, self.model_cfg))(kg)
-        if d_params is None:
-            d_params = jax.jit(lambda k: sg2.discriminator_init(k, self.model_cfg))(kd)
 
         g_lr, gb1, gb2 = _lazy_lr(self.cfg.g_lr, self.cfg.beta1, self.cfg.beta2,
                                   self.cfg.g_reg_interval)
@@ -145,26 +165,49 @@ class Trainer:
         self.g_optim = optax.adam(g_lr, b1=gb1, b2=gb2, eps=self.cfg.eps)
         self.d_optim = optax.adam(d_lr, b1=db1, b2=db2, eps=self.cfg.eps)
 
-        self.state = TrainState(
-            g_params=g_params, d_params=d_params,
-            g_opt=self.g_optim.init(g_params),
-            d_opt=self.d_optim.init(d_params),
-            gs_params=jax.tree.map(lambda x: x, g_params),
-            pl_avg=jnp.zeros(()),
-            step=jnp.zeros((), jnp.int32),
-            key=self._key,
-        )
+        def build_state(kg, kd, key, g_params, d_params):
+            if g_params is None:
+                g_params = sg2.generator_init(kg, self.model_cfg)
+            if d_params is None:
+                d_params = sg2.discriminator_init(kd, self.model_cfg)
+            return TrainState(
+                g_params=g_params, d_params=d_params,
+                g_opt=self.g_optim.init(g_params),
+                d_opt=self.d_optim.init(d_params),
+                gs_params=jax.tree.map(lambda x: x, g_params),
+                pl_avg=jnp.zeros(()),
+                step=jnp.zeros((), jnp.int32),
+                key=key,
+            )
+
+        if abstract:
+            self.state = jax.eval_shape(build_state, kg, kd, self._key,
+                                        g_params, d_params)
+        else:
+            self.state = jax.jit(build_state)(kg, kd, self._key,
+                                              g_params, d_params)
         self._train_step = jax.jit(self._build_step())
 
     # ------------------------------------------------------------ model fns
+
+    def _shard_batch(self, x):
+        """Constrain a batch-leading tensor to the data-parallel sharding
+        (no-op without a mesh). Applied at the latent ROOTS only — GSPMD
+        propagates the batch axis through mapping/synthesis/D from there."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = PartitionSpec(self.batch_axes)
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec))
 
     def _gen_dlatents(self, g_params, key, batch):
         """Latent -> per-layer dlatents with style mixing (reference
         stylegan2/utils.py:292-322 PriorGenerator + models.py:425-458)."""
         cfg = self.model_cfg
         k1, k2, k_mix, k_cut = jax.random.split(key, 4)
-        z1 = jax.random.normal(k1, (batch, cfg.latent_size))
-        z2 = jax.random.normal(k2, (batch, cfg.latent_size))
+        z1 = self._shard_batch(jax.random.normal(k1, (batch, cfg.latent_size)))
+        z2 = self._shard_batch(jax.random.normal(k2, (batch, cfg.latent_size)))
         w1 = sg2.mapping_apply(g_params["mapping"], z1, cfg)
         w2 = sg2.mapping_apply(g_params["mapping"], z2, cfg)
         n = cfg.num_latents
@@ -178,9 +221,13 @@ class Trainer:
         return dl
 
     def _synthesize(self, g_params, dlatents, key):
+        # s2d=False: training differentiates through synthesis; the s2d
+        # domain's per-style folded kernels are a frozen-inference trade
+        # that multiplies autodiff's activation footprint (see
+        # synthesis_apply docstring)
         return sg2.synthesis_apply(g_params["synthesis"], dlatents,
                                    self.model_cfg, noise="random",
-                                   noise_key=key)
+                                   noise_key=key, s2d=False)
 
     def _d_apply(self, d_params, images):
         return sg2.discriminator_apply(d_params, images, self.model_cfg)
@@ -214,10 +261,11 @@ class Trainer:
 
             def synth(p, d):
                 return sg2.synthesis_apply(p["synthesis"], d, self.model_cfg,
-                                           noise="none")
+                                           noise="none", s2d=False)
 
             pen, new_avg = losses.path_length_reg(
-                synth, g_params, dl, k_y, pl_avg, cfg.pl_decay, cfg.pl_weight)
+                synth, g_params, dl, k_y, pl_avg, cfg.pl_decay, cfg.pl_weight,
+                shard=self._shard_batch)
             return pen * cfg.g_reg_interval, new_avg
 
         S = max(1, int(cfg.subdivisions))
@@ -239,7 +287,6 @@ class Trainer:
                 lambda xs: jax.value_and_grad(d_loss_fn)(
                     state.d_params, state.g_params, xs[0], xs[1]),
                 (reals_s, jax.random.split(kd, S)))
-            do_d_reg = (state.step % cfg.d_reg_interval) == 0
 
             def with_r1(g):
                 _, r1_grads = _accum(
@@ -248,7 +295,9 @@ class Trainer:
                     reals_s)
                 return jax.tree.map(jnp.add, g, r1_grads)
 
-            d_grads = jax.lax.cond(do_d_reg, with_r1, lambda g: g, d_grads)
+            if cfg.d_reg_interval > 0:
+                do_d_reg = (state.step % cfg.d_reg_interval) == 0
+                d_grads = jax.lax.cond(do_d_reg, with_r1, lambda g: g, d_grads)
             d_updates, d_opt = self.d_optim.update(d_grads, state.d_opt,
                                                    state.d_params)
             d_params = optax.apply_updates(state.d_params, d_updates)
@@ -258,7 +307,6 @@ class Trainer:
                 lambda k: jax.value_and_grad(g_loss_fn)(
                     state.g_params, d_params, sub, k),
                 jax.random.split(kg, S))
-            do_g_reg = (state.step % cfg.g_reg_interval) == 0
 
             def with_pl(args):
                 g, avg = args
@@ -277,8 +325,12 @@ class Trainer:
                 pl_g = jax.tree.map(lambda x: x / S, pl_g)
                 return jax.tree.map(jnp.add, g, pl_g), new_avg
 
-            g_grads, pl_avg = jax.lax.cond(
-                do_g_reg, with_pl, lambda a: a, (g_grads, state.pl_avg))
+            if cfg.g_reg_interval > 0:
+                do_g_reg = (state.step % cfg.g_reg_interval) == 0
+                g_grads, pl_avg = jax.lax.cond(
+                    do_g_reg, with_pl, lambda a: a, (g_grads, state.pl_avg))
+            else:
+                pl_avg = state.pl_avg
             g_updates, g_opt = self.g_optim.update(g_grads, state.g_opt,
                                                    state.g_params)
             g_params = optax.apply_updates(state.g_params, g_updates)
@@ -290,7 +342,8 @@ class Trainer:
             # mapping forward is negligible next to synthesis). Without
             # this, truncation on a self-trained model lerps toward the
             # init zeros vector.
-            z_avg = jax.random.normal(k_avg, (sub, self.model_cfg.latent_size))
+            z_avg = self._shard_batch(
+                jax.random.normal(k_avg, (sub, self.model_cfg.latent_size)))
             w_avg = sg2.mapping_apply(g_params["mapping"], z_avg,
                                       self.model_cfg).mean(axis=0)
             b = cfg.dlatent_avg_beta

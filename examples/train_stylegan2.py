@@ -71,7 +71,13 @@ def main():
                         subdivisions=2,      # grad accumulation demo
                         seed=0)
     model_cfg = sg2.TINY if args.tiny else sg2.CONFIG_F
-    trainer = Trainer(model_cfg=model_cfg, cfg=cfg)
+    mesh = None
+    if args.mesh:
+        from clip_glass_tpu.parallel import make_mesh
+        mesh = make_mesh(axis="batch")
+    # mesh=: constrains the in-step latent roots to the batch sharding so
+    # the G/D activations stay data-parallel (see Trainer docstring)
+    trainer = Trainer(model_cfg=model_cfg, cfg=cfg, mesh=mesh)
 
     if args.data:
         from clip_glass_tpu.utils.data import ImageFolder
@@ -82,9 +88,6 @@ def main():
 
     if args.mesh:
         from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from clip_glass_tpu.parallel import make_mesh
-        mesh = make_mesh(axis="batch")
         sharded = NamedSharding(mesh, P("batch"))
         base = data
 

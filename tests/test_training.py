@@ -83,6 +83,21 @@ def _data(batch=4, res=16):
         yield rng.uniform(-1, 1, (batch, 3, res, res)).astype(np.float32)
 
 
+def test_reg_interval_zero_statically_disables_phase():
+    """interval=0 omits the regularizer from the compiled step (reference
+    loss_fns.py's <=0 weight dispatch): training runs, pl_avg never moves
+    (no path-length phase), and params still optimize."""
+    cfg = TrainerConfig(batch_size=4, checkpoint_every=0,
+                        d_reg_interval=0, g_reg_interval=0)
+    tr = Trainer(model_cfg=sg2.TINY, cfg=cfg)
+    g0 = np.asarray(tr.state.g_params["mapping"]["dense"][0]["w"]).copy()
+    logs = tr.train(_data(), iterations=2)
+    assert np.isfinite(float(logs["d_loss"]))
+    assert float(tr.state.pl_avg) == 0.0
+    assert not np.allclose(
+        g0, np.asarray(tr.state.g_params["mapping"]["dense"][0]["w"]))
+
+
 def test_training_steps_move_params(trainer):
     # dlatent_avg takes no gradient; check a live weight
     leaf = lambda p: p["mapping"]["dense"][0]["w"]
