@@ -109,8 +109,61 @@ def convert(sd: Dict, cfg: BigGANConfig):
     }
 
 
+def infer_config(sd: Dict) -> BigGANConfig:
+    """Derive the BigGANConfig from the checkpoint's own shapes, using the
+    BigGAN-deep structural invariant that GenBlocks alternate plain /
+    upsampling within each resolution stage (true of every published
+    biggan-deep-{128,256,512} config the reference's
+    pytorch_pretrained_biggan package ships): up_i = (i odd). Everything
+    else reads off tensor shapes — embeddings [z_dim, num_classes], the
+    channel width from the last block's output (out_mult = 1 by
+    construction), per-block multipliers from conv_0 in / conv_3 out,
+    attention position from the gamma entry's index, n_stats from the
+    running-stat tables, output_dim = 4px * 2^(#up blocks)."""
+    def w(prefix):
+        key = f"{prefix}.weight_orig"
+        return _np(sd[key if key in sd else f"{prefix}.weight"])
+
+    z_dim, num_classes = w("embeddings").shape
+    g = "generator"
+    entries = []          # ("attn", i) | ("block", in_ch, out_ch, i)
+    i = 0
+    while True:
+        p = f"{g}.layers.{i}"
+        if f"{p}.gamma" in sd:
+            entries.append(("attn", i))
+        elif any(k.startswith(f"{p}.conv_0.") for k in sd):
+            entries.append(("block", w(f"{p}.conv_0").shape[1],
+                            w(f"{p}.conv_3").shape[0], i))
+        else:
+            break
+        i += 1
+    blocks = [e for e in entries if e[0] == "block"]
+    if not blocks:
+        raise ValueError("no generator.layers.N GenBlocks in checkpoint")
+    ch = blocks[-1][2]    # last block's out_mult is 1 in every deep config
+    layers = []
+    for bi, (_, in_ch, out_ch, _i) in enumerate(blocks):
+        if in_ch % ch or out_ch % ch:
+            raise ValueError(
+                f"block {bi} channels ({in_ch}->{out_ch}) not multiples of "
+                f"inferred width {ch}")
+        layers.append((bi % 2 == 1, in_ch // ch, out_ch // ch))
+    attn = [e[1] for e in entries if e[0] == "attn"]
+    n_stats = _np(
+        sd[f"{g}.layers.{blocks[0][3]}.bn_0.running_means"]).shape[0]
+    return BigGANConfig(
+        z_dim=z_dim, channel_width=ch, num_classes=num_classes,
+        layers=tuple(layers),
+        attention_layer_position=attn[0] if attn else 0,
+        n_stats=n_stats,
+        output_dim=4 * 2 ** sum(up for up, _, _ in layers))
+
+
 def load_torch_checkpoint(path: str, model_name: str = "biggan-deep-256"):
+    """model_name="auto" infers the geometry from the checkpoint itself
+    (infer_config) instead of the published-variant table."""
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=False)
-    cfg = CONFIGS[model_name]
+    cfg = infer_config(sd) if model_name == "auto" else CONFIGS[model_name]
     return convert(sd, cfg), cfg

@@ -80,7 +80,8 @@ def main() -> int:
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--model-name", default="biggan-deep-256",
-                   help="biggan variant for the biggan kind")
+                   help="biggan variant for the biggan kind; 'auto' infers "
+                        "the geometry from the checkpoint shapes")
     args = p.parse_args()
 
     from clip_glass_tpu.core import pytree

@@ -20,6 +20,15 @@ Usage:
   ./scripts/download_weights.sh all            # (a machine with egress)
   python scripts/validate_pretrained.py --weights-dir ./weights
 
+`--synthetic` rehearses the SAME pipeline without egress: it fabricates
+reference-format checkpoints (scripts/synthesize_checkpoints.py — small
+geometry, exact on-disk layouts), runs every converter through the
+convert_weights.py CLI exactly as download_weights.sh would, runs the
+torch-oracle parity checks on the fabricated checkpoints, and finally
+drives run.py with the converted weights (skip with --no-cli). Any
+breakage in the real-weights path shows up here before a user with
+egress hits it.
+
 Reference counterparts: download-weights.sh:1-41 (acquisition),
 clip/clip.py:24-53 (sha256 gate), and the implicit run-and-look validation
 strategy of the reference (SURVEY.md §4).
@@ -100,11 +109,23 @@ def cos(a, b):
 
 # --------------------------------------------------------------------- CLIP
 
-def validate_clip(wdir, out, ref_dir, model_name, fname):
+def _load_clip_sd(torch, path):
+    """State dict from either official container format: TorchScript archive
+    or plain pickle (reference clip/clip.py:60-78 handles both)."""
+    try:
+        return torch.jit.load(path, map_location="cpu").state_dict()
+    except Exception:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        return sd.state_dict() if hasattr(sd, "state_dict") else sd
+
+
+def validate_clip(wdir, out, ref_dir, model_name, fname, synthetic=False):
     import numpy as np
 
     @check(f"clip/{model_name}: sha256")
     def _sha(path):
+        if synthetic:
+            raise Skip("synthetic checkpoint (no official hash)")
         from clip_glass_tpu.models.clip import api
         assert api.verify_checkpoint(path, model_name), "sha256 mismatch"
         return "official hash matched (reference clip/clip.py:45-53)"
@@ -120,7 +141,7 @@ def validate_clip(wdir, out, ref_dir, model_name, fname):
         from clip_glass_tpu.weights import convert_clip
         params, cfg = convert_clip.load_torch_checkpoint(path)
 
-        sd = torch.jit.load(path, map_location="cpu").state_dict()
+        sd = _load_clip_sd(torch, path)
         m = build_model(sd).float().eval()  # fp32 oracle (jit=False path)
 
         import jax
@@ -175,7 +196,12 @@ def validate_gpt2(wdir, out, ref_dir):
 
     params, cfg = convert_gpt2.load_torch_checkpoint(path)
 
-    m = GPT2LMHeadModel(RefConfig())
+    # oracle geometry from the inferred config (identity for the real 124M
+    # checkpoint; lets the synthetic rehearsal run the same code)
+    m = GPT2LMHeadModel(RefConfig(n_embd=cfg.n_embd, n_layer=cfg.n_layer,
+                                  n_head=cfg.n_head,
+                                  n_positions=cfg.n_positions,
+                                  n_ctx=cfg.n_positions))
     m = load_weight(m, torch.load(path, map_location="cpu"))
     m.eval()
 
@@ -290,7 +316,7 @@ def validate_stylegan2(wdir, out, ref_dir, config):
 
 # -------------------------------------------------------------------- BigGAN
 
-def validate_biggan(wdir, out, ref_dir, name):
+def validate_biggan(wdir, out, ref_dir, name, synthetic=False):
     import numpy as np
 
     @check(f"biggan/{name}: convert + HF-oracle parity + render")
@@ -305,12 +331,17 @@ def validate_biggan(wdir, out, ref_dir, name):
         from clip_glass_tpu.utils.image import save_grid
         from clip_glass_tpu.weights import convert_biggan
 
-        params, cfg = convert_biggan.load_torch_checkpoint(path, name)
+        # synthetic checkpoints carry small geometry; "auto" reads it off
+        # the checkpoint shapes (convert_biggan.infer_config)
+        params, cfg = convert_biggan.load_torch_checkpoint(
+            path, "auto" if synthetic else name)
 
         rng = np.random.default_rng(5)
-        z = np.clip(rng.normal(size=(2, cfg.dim_z)), -2, 2).astype(np.float32)
-        cls = np.zeros((2, cfg.n_classes), np.float32)
-        cls[0, 207], cls[1, 8] = 1.0, 1.0  # golden retriever, hen
+        z = np.clip(rng.normal(size=(2, cfg.z_dim)), -2, 2).astype(np.float32)
+        cls = np.zeros((2, cfg.num_classes), np.float32)
+        # golden retriever, hen (clamped for small synthetic class tables)
+        cls[0, min(207, cfg.num_classes - 1)] = 1.0
+        cls[1, min(8, cfg.num_classes - 1)] = 1.0
         imgs = np.asarray(jax.jit(lambda p, zz, cc: bg.apply(
             p, zz, cc, 1.0, cfg, FP32))(params, jnp.asarray(z),
                                         jnp.asarray(cls)))
@@ -334,6 +365,106 @@ def validate_biggan(wdir, out, ref_dir, name):
     _run()
 
 
+# --------------------------------------------------- converter CLI rehearsal
+
+def run_convert_cli(wdir, synthetic=False):
+    """Run scripts/convert_weights.py on every checkpoint present, with the
+    EXACT invocations download_weights.sh issues (download_weights.sh:105-155)
+    — so any drift between the converters and the shipped acquisition script
+    fails here."""
+    import subprocess
+    cw = os.path.join(REPO, "scripts", "convert_weights.py")
+
+    def cli(label, argv, src):
+        @check(f"convert CLI: {label}")
+        def _run():
+            need(src)
+            r = subprocess.run([sys.executable, cw] + argv,
+                               capture_output=True, text=True, timeout=600)
+            assert r.returncode == 0, f"rc {r.returncode}: {r.stderr[-800:]}"
+            return (r.stdout.strip().splitlines() or ["ok"])[-1]
+        _run()
+
+    clip_dir = os.path.join(wdir, "clip")
+    cli("clip ViT-B/32",
+        ["clip", os.path.join(clip_dir, "ViT-B-32.pt"),
+         os.path.join(clip_dir, "ViT-B-32.npz")],
+        os.path.join(clip_dir, "ViT-B-32.pt"))
+    cli("clip RN50",
+        ["clip", os.path.join(clip_dir, "RN50.pt"),
+         os.path.join(clip_dir, "RN50.npz")],
+        os.path.join(clip_dir, "RN50.pt"))
+    gpt2_bin = os.path.join(wdir, "gpt2", "gpt2-pytorch_model.bin")
+    cli("gpt2", ["gpt2", gpt2_bin, os.path.join(wdir, "gpt2", "gpt2.npz")],
+        gpt2_bin)
+    for config in ("ffhq-config-f", "car-config-f", "church-config-f"):
+        pkl = os.path.join(wdir, "stylegan2", config, f"stylegan2-{config}.pkl")
+        cli(f"stylegan2-tf {config}",
+            ["stylegan2-tf", pkl, os.path.join(wdir, "stylegan2", config)],
+            pkl)
+    for name in ("biggan-deep-256", "biggan-deep-512"):
+        src = os.path.join(wdir, "biggan", f"{name}-pytorch_model.bin")
+        cli(f"biggan {name}",
+            ["biggan", src, os.path.join(wdir, "biggan", f"{name}.npz"),
+             "--model-name", "auto" if synthetic else name],
+            src)
+
+
+def run_cli_drive(wdir, out):
+    """Drive run.py end to end on the CONVERTED weights — one txt2img search
+    (StyleGAN2_ffhq_d: G + D objectives, jpg artifacts) and one img2txt
+    search (GPT2: caption artifacts) — and assert the full reference
+    artifact set lands (reference run.py:79-125)."""
+    import subprocess
+
+    def drive(label, argv, folder, artifacts):
+        @check(f"CLI drive: {label}")
+        def _run():
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "run.py")] + argv,
+                capture_output=True, text=True, timeout=1200,
+                env={**os.environ, "JAX_PLATFORMS":
+                     os.environ.get("JAX_PLATFORMS", "cpu")})
+            assert r.returncode == 0, f"rc {r.returncode}: {r.stderr[-800:]}"
+            missing = [a for a in artifacts
+                       if not os.path.exists(os.path.join(folder, a))]
+            assert not missing, f"missing artifacts: {missing}"
+            return f"artifacts complete under {folder}"
+        _run()
+
+    clip_npz = os.path.join(wdir, "clip", "ViT-B-32.npz")
+    sg2_dir = os.path.join(wdir, "stylegan2", "ffhq-config-f")
+    folder = os.path.join(out, "cli_sg2")
+    if os.path.exists(clip_npz) and os.path.exists(
+            os.path.join(sg2_dir, "Gs.npz")):
+        drive("StyleGAN2_ffhq_d txt2img",
+              ["--config", "StyleGAN2_ffhq_d", "--target", "the face of a man",
+               "--weights", sg2_dir, "--clip-weights", clip_npz,
+               "--generations", "4", "--save-each", "2", "--pop-size", "8",
+               "--tmp-folder", folder],
+              folder, ["genetic_result", "F.jpg", "ls_result.npz",
+                       "output.jpg", "genetic-it-final.jpg"])
+    else:
+        record("CLI drive: StyleGAN2_ffhq_d txt2img", "SKIP",
+               "converted weights absent")
+
+    gpt2_bin = os.path.join(wdir, "gpt2", "gpt2-pytorch_model.bin")
+    demo = os.path.join(REPO, "examples", "gpt2_images")
+    imgs = sorted(os.listdir(demo)) if os.path.isdir(demo) else []
+    folder = os.path.join(out, "cli_gpt2")
+    if os.path.exists(gpt2_bin) and os.path.exists(clip_npz) and imgs:
+        drive("GPT2 img2txt",
+              ["--config", "GPT2", "--target", os.path.join(demo, imgs[0]),
+               "--weights", gpt2_bin, "--clip-weights", clip_npz,
+               "--generations", "4", "--save-each", "2", "--pop-size", "8",
+               "--tmp-folder", folder],
+              folder, ["genetic_result", "ls_result.npz", "output.txt",
+                       "genetic-it-final.txt"])
+    else:
+        record("CLI drive: GPT2 img2txt", "SKIP",
+               "converted weights or demo images absent")
+
+
 # ---------------------------------------------------------------------- main
 
 def main():
@@ -342,21 +473,41 @@ def main():
     p.add_argument("--reference", default="/root/reference",
                    help="reference source tree for torch oracles")
     p.add_argument("--out", default=os.path.join(REPO, "validation_out"))
+    p.add_argument("--synthetic", action="store_true",
+                   help="fabricate reference-format checkpoints (small "
+                        "geometry) into --weights-dir and rehearse the whole "
+                        "fetch->convert->load->CLI pipeline without egress")
+    p.add_argument("--no-cli", action="store_true",
+                   help="skip the end-to-end run.py drive")
     args = p.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
 
+    if args.synthetic:
+        @check("synthesize reference-format checkpoints")
+        def _synth():
+            import synthesize_checkpoints as sc
+            man = sc.synthesize_all(args.weights_dir)
+            return f"{len(man)} checkpoints under {args.weights_dir}"
+        _synth()
+
+    run_convert_cli(args.weights_dir, synthetic=args.synthetic)
+
     validate_clip(args.weights_dir, args.out, args.reference,
-                  "ViT-B/32", "ViT-B-32.pt")
+                  "ViT-B/32", "ViT-B-32.pt", synthetic=args.synthetic)
     validate_clip(args.weights_dir, args.out, args.reference,
-                  "RN50", "RN50.pt")
+                  "RN50", "RN50.pt", synthetic=args.synthetic)
     validate_gpt2(args.weights_dir, args.out, args.reference)
     for config in ("ffhq-config-f", "car-config-f", "church-config-f"):
         validate_stylegan2(args.weights_dir, args.out, args.reference, config)
     for name in ("biggan-deep-256", "biggan-deep-512"):
-        validate_biggan(args.weights_dir, args.out, args.reference, name)
+        validate_biggan(args.weights_dir, args.out, args.reference, name,
+                        synthetic=args.synthetic)
+
+    if not args.no_cli:
+        run_cli_drive(args.weights_dir, args.out)
 
     print("\n=== summary ===")
     counts = {"PASS": 0, "FAIL": 0, "SKIP": 0}

@@ -164,6 +164,27 @@ def test_truncated_noise_matches_package_distribution():
     np.testing.assert_allclose(x.std(), ref_std, rtol=0.05)
 
 
+@pytest.mark.parametrize("cfg,seed", [(bg.TINY, 0), (ORACLE_MID, 1)])
+def test_infer_config_roundtrip(cfg, seed):
+    """infer_config recovers the full geometry (z/classes/width/layer
+    multipliers/up flags/attention position/n_stats/output_dim) from an
+    HF-layout state dict alone — the `--model-name auto` path
+    validate_pretrained.py --synthetic exercises."""
+    tm = oracle.make_random_oracle(cfg, seed=seed)
+    got = convert_biggan.infer_config(_to_numpy_sd(tm))
+    want = dataclasses.asdict(cfg)
+    have = dataclasses.asdict(got)
+    for field in ("z_dim", "channel_width", "num_classes", "layers",
+                  "attention_layer_position", "n_stats", "output_dim"):
+        assert have[field] == want[field], (field, have[field], want[field])
+    # and the inferred config converts + runs
+    params = convert_biggan.convert(_to_numpy_sd(tm), got)
+    imgs = bg.apply(params, jnp.zeros((1, got.z_dim)),
+                    jax.nn.one_hot(jnp.array([0]), got.num_classes), 0.5,
+                    got, FP32)
+    assert imgs.shape == (1, 3, got.output_dim, got.output_dim)
+
+
 def test_real_config_shapes():
     # full-size configs build structurally correct shapes (no forward; the
     # 256px forward is exercised on TPU in bench/integration)
