@@ -154,6 +154,43 @@ class SearchServer:
 
             self._batch_init = batch_init
 
+        # Fused admission scatter: ONE donated program updates the ctx
+        # target rows and every state leaf for all admitted slots. The
+        # unfused form (per-leaf .at[idx].set chains) costs ~9 dispatch
+        # round-trips per admission round — on a tunneled device that is
+        # the dominant churn overhead. Always called with exactly n_slots
+        # rows (padded by repeating the last admitted entry: duplicate
+        # scatter indices writing identical values are deterministic), so
+        # ONE executable serves the server's lifetime.
+        def admit_scatter(state, target, idx, feats, rows):
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+            target = target.at[idx].set(jnp.stack(feats))
+            state = GAState(*[b.at[idx].set(v)
+                              for b, v in zip(state, stacked)])
+            return state, target
+
+        self._admit_scatter = jax.jit(admit_scatter, donate_argnums=(0, 1))
+
+        # Block-form admission: rows `ridx` of a prepared init block
+        # (feats2 [K,1,D] + bstate with leading K) land in slots `sidx`,
+        # gather + scatter fused in the same single program — no
+        # per-ticket row slicing ever touches the host dispatch path.
+        def admit_gs(state, target, sidx, ridx, feats2, bstate):
+            target = target.at[sidx].set(feats2[ridx])
+            state = GAState(*[b.at[sidx].set(v[ridx])
+                              for b, v in zip(state, bstate)])
+            return state, target
+
+        self._admit_gs = jax.jit(admit_gs, donate_argnums=(0, 1))
+        # Fused harvest gather (one dispatch instead of one per leaf),
+        # likewise padded to a fixed n_slots rows.
+        self._gather = jax.jit(
+            lambda s, i: jax.tree.map(lambda x: x[i], s))
+        # One-dispatch per-ticket admission keys (a python loop of
+        # fold_in's costs a round-trip each).
+        self._fold_keys = jax.jit(
+            lambda ts: jax.vmap(lambda t: jax.random.fold_in(self.key, t))(ts))
+
     # ---------------------------------------------------------------- API
 
     @property
@@ -205,8 +242,12 @@ class SearchServer:
                 harvest.append((i, slot.ticket))
                 slot.ticket, slot.remaining = None, 0
         if harvest:
-            gidx = jnp.asarray([i for i, _ in harvest], dtype=jnp.int32)
-            snapshot = jax.tree.map(lambda x: x[gidx], self.state)
+            # one fused gather dispatch, padded to a fixed row count so it
+            # stays a single lifetime executable (pad rows are ignored)
+            gidx = [i for i, _ in harvest]
+            gidx += [gidx[-1]] * (self.n_slots - len(gidx))
+            snapshot = self._gather(self.state,
+                                    jnp.asarray(gidx, jnp.int32))
         self._admit()
         occupied = self.active()
         if occupied:
@@ -283,34 +324,34 @@ class SearchServer:
 
     def _prepare_many(self, items) -> Dict[int, tuple]:
         """Admission work for several requests at once: `items` is a list
-        of (ticket, target); returns {ticket: (feat, s0)}. When the batched
-        init program is available, each block of up to n_slots requests
-        initializes in ONE vmapped dispatch (targets encoded in one call,
-        rows padded by repetition and discarded) — per-request results are
-        bitwise `_prepare`'s."""
+        of (ticket, target). Single requests (and the host-eval path) come
+        back in row form `(feat, s0)` via `_prepare`; larger batches come
+        back in BLOCK form `(feats2, bstate, j)` — each block of up to
+        n_slots requests initializes in ONE vmapped dispatch (targets
+        encoded in one call, rows padded by repetition and discarded), and
+        the per-request entries reference row `j` of the shared block
+        arrays so admission never slices rows on the host. Either way,
+        per-request results are bitwise `_prepare`'s."""
         if not items:
             return {}
-        if self._batch_init is None:
+        if self._batch_init is None or len(items) == 1:
             return {t: self._prepare(t, tgt) for t, tgt in items}
         K = self.n_slots
         rest = {k: v for k, v in self.balgo.ctx.items() if k != "target"}
         out = {}
         for start in range(0, len(items), K):
             block = items[start:start + K]
+            # pad to the compiled row count BEFORE encoding, so the target
+            # encoder and the init program each keep ONE executable
+            padded = block + [block[-1]] * (K - len(block))
             feats = self.problem.generator.encode_targets(
-                [tgt for _, tgt in block])                       # [M, D]
-            keys = jnp.stack([jax.random.fold_in(self.key, t)
-                              for t, _ in block])
-            if len(block) < K:   # pad to the compiled row count
-                pad = K - len(block)
-                feats = jnp.concatenate(
-                    [feats, jnp.repeat(feats[-1:], pad, axis=0)])
-                keys = jnp.concatenate(
-                    [keys, jnp.repeat(keys[-1:], pad, axis=0)])
-            bstate = self._batch_init(
-                keys, {**rest, "target": feats[:, None, :]})
+                [tgt for _, tgt in padded])                      # [K, D]
+            keys = self._fold_keys(
+                jnp.asarray([t for t, _ in padded], jnp.uint32))
+            feats2 = feats[:, None, :]                           # [K, 1, D]
+            bstate = self._batch_init(keys, {**rest, "target": feats2})
             for j, (t, _) in enumerate(block):
-                out[t] = (feats[j:j + 1], _slice_state(bstate, j))
+                out[t] = (feats2, bstate, j)
         return out
 
     def _prefetch(self) -> None:
@@ -336,23 +377,38 @@ class SearchServer:
         self._prepared.update(self._prepare_many(
             [(t, tgt) for t, tgt, _ in picked if t not in self._prepared]))
         self.stats.admission_evals += len(picked) * self.balgo.pop_size
-        taken = []   # (slot_index, feat, s0) admitted this tick
+        rows = []      # row-form entries: (slot_index, feat, s0)
+        groups = {}    # block-form: id(bstate) -> [feats2, bstate, pairs]
         for (ticket, _, n_gen), i in zip(picked, free):
-            feat, s0 = self._prepared.pop(ticket)
-            taken.append((i, feat, s0))
+            prep = self._prepared.pop(ticket)
+            if len(prep) == 2:
+                rows.append((i, prep[0], prep[1]))
+            else:
+                feats2, bstate, j = prep
+                groups.setdefault(id(bstate),
+                                  (feats2, bstate, []))[2].append((i, j))
             self._slots[i].ticket = ticket
             self._slots[i].remaining = n_gen
-        # ONE scatter per leaf for all admitted slots (per-slot .at[i].set
-        # chains cost a dispatch round-trip each — at high churn that is
-        # the dominant admission overhead on a tunneled device)
-        idx = jnp.array([i for i, _, _ in taken], dtype=jnp.int32)
-        feats = jnp.stack([f for _, f, _ in taken])          # [M, 1, D]
-        self.balgo.ctx["target"] = \
-            self.balgo.ctx["target"].at[idx].set(feats)
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
-                               *[s0 for _, _, s0 in taken])
-        self.state = GAState(*[
-            b.at[idx].set(v) for b, v in zip(self.state, stacked)])
+        # ONE fused donated program per group updates ctx target + every
+        # state leaf for all its admitted slots, padded to the compiled
+        # n_slots row count (duplicate indices write identical values) so
+        # each program stays a single lifetime executable.
+        def pad(seq):
+            return jnp.asarray(seq + [seq[-1]] * (self.n_slots - len(seq)),
+                               dtype=jnp.int32)
+
+        if rows:
+            while len(rows) < self.n_slots:
+                rows.append(rows[-1])
+            self.state, self.balgo.ctx["target"] = self._admit_scatter(
+                self.state, self.balgo.ctx["target"],
+                pad([i for i, _, _ in rows]),
+                [f for _, f, _ in rows], [s0 for _, _, s0 in rows])
+        for feats2, bstate, pairs in groups.values():
+            self.state, self.balgo.ctx["target"] = self._admit_gs(
+                self.state, self.balgo.ctx["target"],
+                pad([i for i, _ in pairs]), pad([j for _, j in pairs]),
+                feats2, bstate)
 
     def _harvest(self, j: int, ticket: int, host_state: GAState) -> None:
         """Extract the result for `ticket` from row `j` of the compacted
