@@ -105,15 +105,15 @@ def resample_duplicates(key, off: jnp.ndarray, pop_X: jnp.ndarray,
     return jnp.where(dup[:, None], fresh, off)
 
 
-def make_step(ops: Operators, eval_fn: Callable, pop_size: int,
-              algorithm: str = "ga", host_eval: bool = False) -> Callable:
-    """One generation: mating -> variation -> dedup -> eval -> survival.
-    `step(state, ctx)`; ctx is forwarded to eval_fn.
+def make_step_halves(ops: Operators, pop_size: int,
+                     algorithm: str = "ga") -> tuple:
+    """The two jittable halves of a generation step, exposed separately so
+    host-staged evaluation can run BETWEEN them — per search (make_step's
+    host_eval branch) or vmapped across a whole search batch
+    (evolve/batched.py's batched host eval):
 
-    host_eval=False: the whole step is jittable (eval_fn must be traceable).
-    host_eval=True: eval_fn runs on the host between two jitted halves —
-    required for the img2txt BPE round trip on backends without
-    pure_callback support (core/backend.py).
+      vary(state) -> (offspring, k_eval, key)
+      survive(state, offspring, F_offspring, key) -> next state
     """
     if pop_size % 2:
         raise ValueError("pop_size must be even")
@@ -144,6 +144,21 @@ def make_step(ops: Operators, eval_fn: Callable, pop_size: int,
         else:
             X_new, F_new = fitness_survival(X_all, F_all, pop_size)
         return GAState(X_new, F_new, key, state.gen + 1)
+
+    return _vary, _survive
+
+
+def make_step(ops: Operators, eval_fn: Callable, pop_size: int,
+              algorithm: str = "ga", host_eval: bool = False) -> Callable:
+    """One generation: mating -> variation -> dedup -> eval -> survival.
+    `step(state, ctx)`; ctx is forwarded to eval_fn.
+
+    host_eval=False: the whole step is jittable (eval_fn must be traceable).
+    host_eval=True: eval_fn runs on the host between two jitted halves —
+    required for the img2txt BPE round trip on backends without
+    pure_callback support (core/backend.py).
+    """
+    _vary, _survive = make_step_halves(ops, pop_size, algorithm)
 
     if not host_eval:
         def step(state: GAState, ctx=None) -> GAState:

@@ -23,9 +23,16 @@ per-search), so sharding state along it (parallel.shard_state places axis
 cross-chip collectives — the serving layout. Population sharding within a
 search (test_parallel.py) composes on a 2-D mesh if pop is also large.
 
-img2txt (GPT-2) batches through the same API via a per-search host loop
-(`host_eval` fallback): the BPE round trip is host code that cannot vmap;
-captioning K images still shares one weights bundle and one process.
+img2txt (GPT-2) batches through the same API. On backends with
+pure_callback support the BPE round trip serializes per search inside one
+jitted program (vmap_method="sequential"); on host-staged backends (the
+axon tunnel) the DEVICE stages still batch across searches — one decode
+scan at batch K*pop and one CLIP scoring dispatch, with only the host BPE
+running per search (Generator.host_eval_population_batched). The decode is
+the latency-bound stage of the GPT-2 workload (~10% MFU at batch 100), so
+K-batching it multiplies arithmetic per dispatched op without adding ops.
+Stochastic decode (config.stochastic, non-reference) keeps the per-search
+host loop — the batched scan would share one sampling key.
 """
 
 from __future__ import annotations
@@ -75,6 +82,10 @@ class BatchedAlgorithm:
     # config.eval_microbatch (K=16 x pop 16 at 1024px exceeds a single
     # v5e's HBM unchunked; chunks of 8 run at the K=8 rate)
     search_microbatch: Optional[int] = None
+    # host-staged backends: batched eval fn (off [K,pop,nv], ctx, keys [K])
+    # -> F [K,pop,n_obj] that batches the DEVICE stages across searches
+    # (Generator.host_eval_population_batched); None = per-search host loop
+    host_eval_batched: Optional[Callable] = None
 
     # driver-surface passthroughs
     @property
@@ -98,6 +109,21 @@ class BatchedAlgorithm:
         algo = self.base
         keys = jax.random.split(key, self.n_search)
         if self.host_eval:
+            if self.host_eval_batched is not None:
+                # batched mirror of Algorithm.init's host branch: one
+                # vmapped sampling dispatch + one batched staged eval
+                @jax.jit
+                def _bsample(ks):
+                    def one(k):
+                        k_init, k_eval, k2 = jax.random.split(k, 3)
+                        return algo.ops.sample(k_init, algo.pop_size), \
+                            k_eval, k2
+                    return jax.vmap(one)(ks)
+
+                X0, k_evals, k2 = _bsample(keys)
+                F0 = self.host_eval_batched(X0, self.ctx, k_evals)
+                return GAState(X0, F0, k2,
+                               jnp.zeros((self.n_search,), jnp.int32))
             states = [dataclasses.replace(algo, ctx=self._slice_ctx(i))
                       .init(keys[i]) for i in range(self.n_search)]
             return _stack_states(states)
@@ -115,8 +141,26 @@ class BatchedAlgorithm:
         return _binit(keys, self.ctx)
 
     def step_fn(self) -> Callable:
-        step = self.base.step_fn()
         if self.host_eval:
+            if self.host_eval_batched is not None:
+                # vmapped jitted halves around ONE batched staged eval: the
+                # device decode/score run at batch K*pop per generation
+                from clip_glass_tpu.evolve.algorithm import make_step_halves
+                vary, survive = make_step_halves(
+                    self.base.ops, self.base.pop_size, self.base.algorithm)
+                vary_v = jax.jit(jax.vmap(vary))
+                survive_v = jax.jit(jax.vmap(survive))
+
+                def bstep(state: GAState, ctx=None) -> GAState:
+                    ctx = ctx if ctx is not None else self.ctx
+                    off, k_eval, key = vary_v(state)
+                    F_off = self.host_eval_batched(off, ctx, k_eval)
+                    return survive_v(state, off, F_off, key)
+
+                return bstep
+
+            step = self.base.step_fn()
+
             def looped(state: GAState, ctx=None) -> GAState:
                 ctx = ctx if ctx is not None else self.ctx
                 outs = [step(_slice_state(state, i), _slice_ctx_of(ctx, i))
@@ -124,7 +168,7 @@ class BatchedAlgorithm:
                 return _stack_states(outs)
             return looped
         return self._search_chunked(
-            jax.vmap(step, in_axes=(0, self._axes())))
+            jax.vmap(self.base.step_fn(), in_axes=(0, self._axes())))
 
     def _search_chunked(self, vfn: Callable) -> Callable:
         """Wrap a vmapped-over-searches fn(batched_first_arg, ctx) in
@@ -182,12 +226,20 @@ def make_batched(problem, targets, force_host_eval: bool = False,
 
     img2txt backends with pure_callback support keep ONE jitted program (the
     BPE round trips serialize per search via vmap_method="sequential");
-    host-staged backends (the axon tunnel, or force_host_eval=True) fall
-    back to a per-search host loop with shared weights."""
+    host-staged backends (the axon tunnel, or force_host_eval=True) batch
+    the device decode/score across searches with per-search host BPE
+    (Generator.host_eval_population_batched) — except stochastic decode,
+    which keeps the per-search loop (shared-key caveat in that docstring)."""
     algo = problem.make_algorithm(force_host_eval=force_host_eval)
     ctx = batched_targets_bundle(problem, list(targets))
+    heb = None
+    if algo.host_eval and not problem.config.stochastic:
+        gen = problem.generator
+        heb = lambda off, c, keys: gen.host_eval_population_batched(
+            off, c, keys, search_microbatch=search_microbatch)
     return BatchedAlgorithm(base=algo, ctx=ctx, n_search=len(targets),
-                            search_microbatch=search_microbatch)
+                            search_microbatch=search_microbatch,
+                            host_eval_batched=heb)
 
 
 def minimize_batched(balgo: BatchedAlgorithm, n_gen: int, key,

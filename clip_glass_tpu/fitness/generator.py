@@ -673,6 +673,67 @@ class Generator:
         toks, ok = self._place_like(X, np.concatenate(toks), ok)
         return self._host_score_jit(toks, ok, bundle)
 
+    def host_eval_population_batched(self, Xb, bundle=None, keys=None,
+                                     search_microbatch=None) -> jnp.ndarray:
+        """Host-staged img2txt fitness for K independent searches at once
+        (evolve/batched.py): the autoregressive GPT-2 decode — the
+        latency-bound stage (per-token dispatch, ~10% MFU at batch pop) —
+        runs as ONE scan at batch K*pop, the host BPE round trip runs per
+        search (preserving the reference's whole-population zeroing scope,
+        reference generator.py:53-56), and the CLIP text scoring runs once
+        at batch K*pop against the per-search targets.
+
+        Xb: [K, pop, n_var]; bundle carries target [K, 1, D]. Deterministic
+        decode only (config.stochastic=False, the reference GPT2 setting,
+        reference config.py:19): the flattened batch shares one sampling
+        key, so stochastic mode must keep the per-search loop. `keys` is
+        accepted for signature parity and unused for the same reason.
+
+        search_microbatch: decode in groups of that many searches, ALL
+        groups enqueued before the first host BPE (async dispatch overlaps
+        group g+1's decode with group g's tokenization) — bounds the
+        KV-cache footprint when K*pop is large."""
+        if self.config.stochastic:
+            raise ValueError(
+                "batched host eval requires deterministic decode "
+                "(stochastic sampling would share one key across searches)")
+        bundle = bundle if bundle is not None else self.bundle
+        K, pop, n_var = Xb.shape
+        if not hasattr(self, "_host_bgen_jit"):
+            self._host_bgen_jit = jax.jit(
+                lambda X, b, k: self.generate(X, b, k))
+
+            def _bscore(toks, ok, b):
+                feats = clip_model.encode_text(b["clip"], toks,
+                                               self.clip_cfg, self.policy)
+                feats = feats.reshape(b["target"].shape[0], -1,
+                                      feats.shape[-1])       # [K, pop, D]
+                sim = jnp.where(ok, _cosine(feats, b["target"]), 0.0)
+                return (-sim[..., None]).astype(jnp.float32)
+
+            self._host_bscore_jit = jax.jit(_bscore)
+
+        key = jax.random.PRNGKey(self.config.seed)
+        rest = {k: v for k, v in bundle.items() if k != "target"}
+        flat = Xb.reshape(K * pop, n_var)
+        smb = search_microbatch or K
+        if K % smb:
+            smb = K
+        rows = smb * pop
+        ids_groups = [self._host_bgen_jit(flat[g * rows:(g + 1) * rows],
+                                          rest, key)
+                      for g in range(K // smb)]
+        toks_rows, ok_rows = [], []
+        for ids in ids_groups:
+            ids = np.asarray(ids)
+            for s in range(smb):
+                t, o = self._texts_to_clip_tokens(ids[s * pop:(s + 1) * pop])
+                toks_rows.append(t)
+                ok_rows.append(o)
+        toks = jnp.asarray(np.concatenate(toks_rows))        # [K*pop, 77]
+        ok = jnp.asarray(np.stack(ok_rows))                  # [K, pop]
+        return self._host_bscore_jit(toks, ok, bundle)
+
     @staticmethod
     def _place_like(X, toks, ok):
         """Re-enter the device with the population sharding of `X`: when the

@@ -122,18 +122,43 @@ def test_batched_img2txt_vmapped_callback():
 
 
 def test_batched_img2txt_host_staged_matches_vmapped():
-    """The axon-tunnel fallback (host-staged eval, per-search loop with
-    shared weights) must produce the same trajectories as the vmapped
-    pure_callback path."""
+    """The axon-tunnel fallback — host-staged eval with the device decode/
+    score batched across searches (Generator.host_eval_population_batched)
+    — must produce the same trajectories as the vmapped pure_callback
+    path."""
     prob, targets = _tiny_gpt2_problem()
     key = jax.random.PRNGKey(7)
     res_v = minimize_batched(make_batched(prob, targets), n_gen=2, key=key)
     balgo_h = make_batched(prob, targets, force_host_eval=True)
     assert balgo_h.host_eval
+    assert balgo_h.host_eval_batched is not None  # deterministic GPT2 config
     res_h = minimize_batched(balgo_h, n_gen=2, key=key)
     for rv, rh in zip(res_v, res_h):
         np.testing.assert_allclose(rh.pop_X, rv.pop_X, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(rh.pop_F, rv.pop_F, rtol=1e-4, atol=1e-5)
+
+
+def test_batched_img2txt_host_staged_search_microbatch():
+    """Host-staged multi-search with search_microbatch: the decode runs in
+    groups of smb searches (bounding the KV-cache footprint) with identical
+    results; stochastic decode falls back to the per-search loop."""
+    prob, targets = _tiny_gpt2_problem()
+    targets = targets * 2                       # K=4, smb=2
+    key = jax.random.PRNGKey(11)
+    full = minimize_batched(
+        make_batched(prob, targets, force_host_eval=True), n_gen=2, key=key)
+    chunked = minimize_batched(
+        make_batched(prob, targets, force_host_eval=True,
+                     search_microbatch=2), n_gen=2, key=key)
+    for rf, rc in zip(full, chunked):
+        np.testing.assert_allclose(rc.pop_X, rf.pop_X, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(rc.pop_F, rf.pop_F, rtol=1e-6, atol=1e-6)
+
+    stoch = GenerationProblem(prob.config.replace(stochastic=True),
+                              clip_cfg=jclip.TINY,
+                              model_cfg=prob.generator.model_cfg)
+    balgo_s = make_batched(stoch, targets, force_host_eval=True)
+    assert balgo_s.host_eval_batched is None
 
 
 def test_batched_int8_matches_single_search_int8():
