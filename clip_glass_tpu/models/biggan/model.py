@@ -256,7 +256,8 @@ def _cond_bn_s2d(p, x_s2d, cond, truncation, cfg, policy: Policy):
     return y.astype(x_s2d.dtype)
 
 
-def _block_mid_s2d(p, h, cond, truncation, up: bool, cfg, policy: Policy):
+def _block_mid_s2d(p, h, cond, truncation, up: bool, cfg, policy: Policy,
+                   skip=None):
     """The bottleneck mid segment (conv0 1x1 -> [nearest up] -> conv1 3x3 ->
     conv2 3x3 -> conv3 1x1) in the space-to-depth domain: mid = in/4
     channels at 256-512px are lane-pathological in plain NHWC (the same
@@ -264,7 +265,14 @@ def _block_mid_s2d(p, h, cond, truncation, up: bool, cfg, policy: Policy):
     plain->s2d, the nearest-neighbour upsample composes into conv1
     (s2d_nearest_up_conv), conv2 alternates the lattice offset ([2,2]
     kernel), conv3 folds back to plain — zero standalone layout transposes.
-    Exact: every op is a re-indexed fold of the plain formulation."""
+    Exact: every op is a re-indexed fold of the plain formulation.
+
+    skip (up blocks only): the channel-dropped residual input at PRE-up
+    resolution. When given, the up chain runs offsets 0 -> -1 -> 0 so the
+    exit sits on the aligned lattice, where `h + upsample_nearest(skip)`
+    folds into the exit conv itself (s2d_exit_conv1x1_skip) — the model's
+    largest full-resolution tensors (the 256/512px skip broadcasts) never
+    materialize. Returns the block OUTPUT (residual included)."""
     from clip_glass_tpu.ops import s2d as S
 
     cc = policy.cast_compute
@@ -272,8 +280,9 @@ def _block_mid_s2d(p, h, cond, truncation, up: bool, cfg, policy: Policy):
     hs = hs + S.tile_channels(cc(p["conv_0"]["b"]))
     hs = jax.nn.relu(_cond_bn_s2d(p["bn_1"], hs, cond, truncation, cfg, policy))
     if up:
-        hs = S.s2d_nearest_up_conv(hs, cc(p["conv_1"]["w"]), in_off=0)
-        off = 0
+        off = -1 if skip is not None else 0
+        hs = S.s2d_nearest_up_conv(hs, cc(p["conv_1"]["w"]), in_off=0,
+                                   out_off=off)
     else:
         hs = S.s2d_conv2d(hs, cc(p["conv_1"]["w"]), 0, -1)
         off = -1
@@ -287,7 +296,11 @@ def _block_mid_s2d(p, h, cond, truncation, up: bool, cfg, policy: Policy):
     hs = jax.nn.relu(_cond_bn_s2d(p["bn_3"], hs, cond, truncation, cfg, policy))
     if off2:
         hs = S.mask_phantoms(hs)
-    out = S.s2d_exit_conv1x1(hs, cc(p["conv_3"]["w"]), in_off=off2)
+    if skip is not None:
+        out = S.s2d_exit_conv1x1_skip(hs, cc(p["conv_3"]["w"]), skip,
+                                      in_off=off2)
+    else:
+        out = S.s2d_exit_conv1x1(hs, cc(p["conv_3"]["w"]), in_off=off2)
     return out + cc(p["conv_3"]["b"])
 
 
@@ -297,6 +310,12 @@ def _gen_block_apply(p, x, cond, truncation, up: bool, cfg, policy: Policy):
     mid = p["conv_0"]["w"].shape[-1]
     out_res = 2 * x.shape[1] if up else x.shape[1]
     if out_res >= cfg.s2d_min_res and 4 * mid <= 512:
+        if up:
+            # fuse the residual's nearest-up + add into the mid segment's
+            # exit conv: the full-res skip broadcast never materializes
+            out_ch = p["conv_3"]["w"].shape[-1]
+            return _block_mid_s2d(p, h, cond, truncation, up, cfg, policy,
+                                  skip=x0[..., :out_ch])
         h = _block_mid_s2d(p, h, cond, truncation, up, cfg, policy)
     else:
         h = _conv_apply(p["conv_0"], h, policy)

@@ -475,16 +475,18 @@ def s2d_exit_conv1x1(x_s2d, w, in_off: int = 0):
 
 
 @lru_cache(maxsize=None)
-def _nearest_up_fold_map(kh: int, in_off: int):
+def _nearest_up_fold_map(kh: int, in_off: int, out_off: int = 0):
     """Mapping tensor M[tau, a, rj, rv] for conv(k=kh, SAME-pad p0=(kh-1)//2
     ... reference pad (k-1)//2) composed with a 2x NEAREST upsample of the
-    input, from s2d(H, in_off) to s2d(2H, 0) as a lhs_dilation=2 conv.
-    y[2v'+rv] = sum_a K[a] x_up[2v'+rv+a-p0], x_up[i] = x_plain[i//2]."""
+    input, from s2d(H, in_off) to s2d(2H, out_off) as a lhs_dilation=2 conv.
+    y[2v'+oo+rv] = sum_a K[a] x_up[2v'+oo+rv+a-p0], x_up[i] = x_plain[i//2].
+    With out_off=-1 the output carries phantom cells (mask before use)."""
     p0 = (kh - 1) // 2
     entries = []
     for rv in range(2):
         for a in range(kh):
-            du = (rv + a - p0) // 2   # + v' (the 2v' term floors away)
+            # + v' (the 2v' term floors away)
+            du = (out_off + rv + a - p0) // 2
             for rj in range(2):
                 # x_plain[v'+du] = xs[(v'+du-oi)//2, (v'+du-oi)%2]
                 entries.append((du, rj, rv, a))
@@ -500,12 +502,15 @@ def _nearest_up_fold_map(kh: int, in_off: int):
     return M, -tmin
 
 
-def s2d_nearest_up_conv(x_s2d, w, in_off: int = 0):
+def s2d_nearest_up_conv(x_s2d, w, in_off: int = 0, out_off: int = 0):
     """conv2d 'SAME' (pad (k-1)//2, the BigGAN convention) applied to the 2x
     NEAREST-upsampled input, computed directly from the s2d input to the
-    s2d(2H) output (offset 0) as one lhs_dilation=2 conv. Exact."""
+    s2d(2H, out_off) output as one lhs_dilation=2 conv. Exact. out_off=-1
+    emits phantom cells (garbage until mask_phantoms) and shrinks the fold
+    kernel by one tap; it sets up an offset-alternating chain whose exit
+    lands back at offset 0 (see s2d_exit_conv1x1_skip)."""
     kh, kw, I, O = w.shape
-    M, pad0 = _nearest_up_fold_map(kh, in_off)
+    M, pad0 = _nearest_up_fold_map(kh, in_off, out_off)
     Mj = jnp.asarray(M)
     K32 = jnp.asarray(w, jnp.float32)
     Kp = jnp.einsum("DaJR,EbKS,abio->DEJKiRSo", Mj, Mj, K32)
@@ -513,9 +518,49 @@ def s2d_nearest_up_conv(x_s2d, w, in_off: int = 0):
     Kp = Kp.reshape(kt, kt, 4 * I, 4 * O)
     n_in = x_s2d.shape[1]
     H = phys_size(n_in, in_off)      # input physical resolution
-    n_out = H                        # cells of s2d(2H) at offset 0
+    n_out = n_cells(2 * H, out_off)  # cells of s2d(2H) at out_off
     pad1 = _pad1_for(2 * n_in - 1, n_out, kt, 1, pad0)  # dilated length
     return _conv(x_s2d, Kp.astype(x_s2d.dtype), pad0=pad0, pad1=pad1,
+                 lhs_dilation=2)
+
+
+def s2d_exit_conv1x1_skip(x_s2d, w, skip, in_off: int = 0):
+    """s2d_exit_conv1x1 with a fused nearest-up residual: returns
+    plain(conv1x1(x_s2d)) + nearest_up_2x(skip) as ONE lhs_dilation=2 conv.
+
+    skip: [B, n, n, O] at the PRE-up resolution — which, at in_off=0, is
+    exactly the cell lattice of x_s2d (cell v' covers output rows 2v',
+    2v'+1, and nearest-up gives both rows skip[v']). The skip is CONCATed
+    onto the s2d channels and the kernel extended with identity taps at
+    all four [2,2] positions: per output pixel the input dilation zeros
+    select exactly one of them (the containing cell), so no full-res skip
+    tensor is ever materialized and the add rides the conv epilogue.
+    Replaces BigGAN-deep's residual `h + upsample_nearest(x0)` for the
+    s2d up-blocks (reference consumes it via pytorch-pretrained-biggan,
+    models.py:65-86). Exact; requires in_off == 0 (with in_off=-1 the two
+    output rows of a cell straddle two skip cells and the fold needs a
+    [3,3] kernel — 2.25x the taps — instead)."""
+    assert in_off == 0, "skip fusion requires the offset-0 exit lattice"
+    I, O = w.shape[2], w.shape[3]
+    assert w.shape[0] == w.shape[1] == 1 and skip.shape[-1] == O
+    w32 = jnp.asarray(w[0, 0], jnp.float32)
+    K = jnp.zeros((2, 2, 4 * I + O, O), jnp.float32)
+    pad0 = 1
+    eye = jnp.eye(O, dtype=jnp.float32)
+    for rjh in range(2):
+        for rjw in range(2):
+            th, tw = pad0 - rjh, pad0 - rjw
+            ci = (rjh * 2 + rjw) * I
+            K = K.at[th, tw, ci:ci + I, :].set(w32)
+            # skip identity: tap (rjh, rjw) hits dilated position
+            # 2*(m//2) exactly when the output parities match — the other
+            # three taps land on dilation zeros for that pixel
+            K = K.at[rjh, rjw, 4 * I:, :].set(eye)
+    xin = jnp.concatenate([x_s2d, skip.astype(x_s2d.dtype)], axis=-1)
+    n_in = x_s2d.shape[1]
+    H = phys_size(n_in, 0)
+    pad1 = _pad1_for(2 * n_in - 1, H, 2, 1, pad0)  # dilated input length
+    return _conv(xin, K.astype(x_s2d.dtype), pad0=pad0, pad1=pad1,
                  lhs_dilation=2)
 
 

@@ -246,6 +246,40 @@ def test_s2d_nearest_up_conv(rng, in_off):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("in_off", [0, -1])
+def test_s2d_nearest_up_conv_out_off(rng, in_off):
+    """out_off=-1 variant (the fused-skip up-chain, BigGAN): phantoms are
+    the only difference from the plain upsample+conv result."""
+    from clip_glass_tpu.models.biggan.model import _upsample_nearest
+
+    x = r(rng, B, H, H, I)
+    w = r(rng, 3, 3, I, O)
+    up = _upsample_nearest(x)
+    a = jnp.asarray(np.asarray(
+        jax.lax.conv_general_dilated(
+            up, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                up.shape, w.shape, ("NHWC", "HWIO", "NHWC")))))
+    y = S.s2d_nearest_up_conv(to_off(x, in_off), w, in_off=in_off,
+                              out_off=-1)
+    got = S.un_s2d_off(S.mask_phantoms(y), -1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(got),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_s2d_exit_conv1x1_skip(rng):
+    """Fused nearest-up residual exit: exit(x) + up(skip) as one conv."""
+    from clip_glass_tpu.models.biggan.model import _upsample_nearest
+
+    x = r(rng, B, H, H, I)
+    w = r(rng, 1, 1, I, O)
+    skip = r(rng, B, H // 2, H // 2, O)  # pre-up res = the cell lattice
+    a = conv2d(x, w) + _upsample_nearest(skip)
+    y = S.s2d_exit_conv1x1_skip(S.s2d(x), w, skip, in_off=0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(y),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_resize_from_s2d_offset(rng):
     img = r(rng, B, 32, 32, 3)
     a = resize_bilinear(jnp.transpose(img, (0, 3, 1, 2)), 12)
