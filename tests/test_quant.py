@@ -155,6 +155,17 @@ def test_gpt2_quantize_disables_gracefully():
     pb = GenerationProblem(cfg, clip_cfg=clip_model.TINY, model_cfg=g2.TINY)
     assert pb.generator._quant_scales is None
 
+    # and the fitness is BITWISE the exact-mode fitness: with zero eligible
+    # call sites the int8 scope never engages, so "quantized" img2txt is
+    # structurally the same program, not merely a close one
+    pb_f = GenerationProblem(cfg.replace(quantize=""),
+                             clip_cfg=clip_model.TINY, model_cfg=g2.TINY)
+    X = jax.random.randint(jax.random.PRNGKey(3), (4, 6), 0, 40)
+    F_q = np.asarray(pb.generator.host_eval_population(X, pb.generator.bundle))
+    F_f = np.asarray(
+        pb_f.generator.host_eval_population(X, pb_f.generator.bundle))
+    np.testing.assert_array_equal(F_q, F_f)
+
 
 def test_int8_full_ga_step():
     """A complete NSGA-II generation step with quantized fitness."""
