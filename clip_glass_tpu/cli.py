@@ -195,9 +195,16 @@ def _serve_mode(problem, config, args) -> int:
     src = sys.stdin if args.serve == "-" else open(args.serve)
 
     gen_fn = jax.jit(lambda X, ctx: problem.generator.generate(X, ctx))
+    mesh = None
+    if args.mesh:
+        # shard the slot axis over the devices (serving.py scale-out):
+        # whole searches per device group, zero steady-state collectives
+        from clip_glass_tpu.parallel import make_mesh
+        mesh = make_mesh()
     server = SearchServer(problem, n_slots=args.slots, chunk=args.save_each,
                           key=jax.random.PRNGKey(config.seed),
-                          search_microbatch=args.search_microbatch)
+                          search_microbatch=args.search_microbatch,
+                          mesh=mesh)
     eof = threading.Event()
 
     def reader():
@@ -294,11 +301,10 @@ def main(argv=None) -> int:
                         else "random:0")
     if args.serve and args.serve != "-" and not os.path.exists(args.serve):
         build_parser().error(f"--serve file not found: {args.serve}")
-    if args.serve and (args.mesh or args.resume):
+    if args.serve and args.resume:
         build_parser().error(
-            "--serve does not support --mesh or --resume (server state is "
-            "resident and per-request; shard searches by running one serve "
-            "process per device group instead)")
+            "--serve does not support --resume (server state is resident "
+            "and per-request; re-submit unfinished targets instead)")
     if args.serve and len(targets) > 1:
         print("[serve] note: only the first --target is used (as the "
               "idle-slot placeholder); serve requests come from the "

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import functools
 import threading
 import time
 from typing import Dict, List, Optional, Sequence
@@ -85,7 +86,7 @@ class SearchServer:
 
     def __init__(self, problem, n_slots: int, chunk: int = 25,
                  key=None, search_microbatch: Optional[int] = None,
-                 force_host_eval: bool = False):
+                 force_host_eval: bool = False, mesh=None):
         if n_slots < 1 or chunk < 1:
             raise ValueError("n_slots and chunk must be >= 1")
         self.problem = problem
@@ -182,6 +183,47 @@ class SearchServer:
             return state, target
 
         self._admit_gs = jax.jit(admit_gs, donate_argnums=(0, 1))
+
+        # One-program tick (the fused fast path of tick()): harvest
+        # snapshot + block-form admission + chunk advance as ONE donated
+        # jitted dispatch. The tunneled device charges a dispatch RTT per
+        # program at every tick boundary; the legacy sequence pays up to
+        # three (gather, admit, chunk) where one suffices — the state never
+        # needs to come up for air between them. The snapshot gathers the
+        # PRE-admission rows (the finished searches' final populations);
+        # admission is a dense masked select of the prepared block's rows
+        # into their slots (bitwise the scatter form); the chunk is the
+        # same fori_loop of vmapped steps _jit_chunk runs.
+        if self._batch_init is not None:
+            step = self.balgo.step_fn()
+
+            @functools.partial(jax.jit, static_argnames="n_gens",
+                               donate_argnums=(0, 1))
+            def serve_step(state, target, rest_ctx, gather_idx, admit_mask,
+                           perm, feats2, bstate, n_gens):
+                snapshot = jax.tree.map(lambda x: x[gather_idx], state)
+
+                def sel(old, new):
+                    m = admit_mask.reshape(
+                        admit_mask.shape + (1,) * (old.ndim - 1))
+                    return jnp.where(m, new[perm], old)
+
+                state = GAState(*[sel(o, n) for o, n in zip(state, bstate)])
+                target = jnp.where(admit_mask[:, None, None],
+                                   feats2[perm], target)
+                ctx = {**rest_ctx, "target": target}
+                state = jax.lax.fori_loop(
+                    0, n_gens, lambda _, s: step(s, ctx), state)
+                return state, target, snapshot
+
+            self._serve_step = serve_step
+        else:
+            self._serve_step = None
+        # Most recent prepared admission block, kept as the shape-matching
+        # placeholder the fused step reads (masked out) on admission-free
+        # ticks. Set on first _prepare_many; every dispatching tick after
+        # the first admission has one (no slot is occupied before then).
+        self._last_block = None
         # Fused harvest gather (one dispatch instead of one per leaf),
         # likewise padded to a fixed n_slots rows.
         self._gather = jax.jit(
@@ -190,6 +232,35 @@ class SearchServer:
         # fold_in's costs a round-trip each).
         self._fold_keys = jax.jit(
             lambda ts: jax.vmap(lambda t: jax.random.fold_in(self.key, t))(ts))
+
+        # Scale-out: the slot axis is §11's search axis — embarrassingly
+        # parallel, so serving shards whole searches over mesh devices with
+        # ZERO cross-chip collectives in the steady state (admission's
+        # block-row select and the harvest snapshot gather cross slots, but
+        # those move KB-sized GA state, not model activations). Weights
+        # replicate; slot-major leaves (state, target rows) shard.
+        self.mesh = mesh
+        if mesh is not None:
+            if self._batch_init is None:
+                raise ValueError(
+                    "mesh serving requires the device-eval path (the "
+                    "host-staged img2txt engine manages state layout "
+                    "host-side)")
+            from clip_glass_tpu.parallel.mesh import (POP_AXIS,
+                                                      population_sharding,
+                                                      replicated_sharding,
+                                                      shard_state)
+            n_dev = mesh.shape[POP_AXIS]
+            if n_slots % n_dev:
+                raise ValueError(f"n_slots {n_slots} must divide over the "
+                                 f"mesh's {n_dev}-device slot axis")
+            slotted = population_sharding(mesh)
+            rep = replicated_sharding(mesh)
+            self.state = shard_state(self.state, mesh)
+            self.balgo.ctx = {
+                k: (jax.device_put(v, slotted) if k == "target"
+                    else jax.tree.map(lambda x: jax.device_put(x, rep), v))
+                for k, v in self.balgo.ctx.items()}
 
     # ---------------------------------------------------------------- API
 
@@ -223,58 +294,108 @@ class SearchServer:
         """Harvest-admit-dispatch cycle: mark slots that finished on the
         previous dispatch free (keeping a reference to their final state),
         admit queued requests into free slots, advance every occupied slot
-        by `chunk` generations (one async jitted dispatch), and only THEN
-        pull the finished slots' results — the device→host transfer and
-        the host-side result extraction overlap the next chunk's execution
-        instead of idling the device. Returns False when there was nothing
-        to do."""
+        by `chunk` generations, and only THEN pull the finished slots'
+        results — the device→host transfer and the host-side result
+        extraction overlap the next chunk's execution instead of idling
+        the device. On the device-eval path the whole cycle is ONE donated
+        jitted dispatch (`_serve_step`): harvest snapshot, admission
+        select, chunk advance — the tunnel charges a dispatch RTT per
+        program, so the legacy gather/admit/chunk sequence pays three
+        boundary latencies where one suffices. Returns False when there
+        was nothing to do."""
         # Finished slots (from the previous tick's dispatch): free their
-        # bookkeeping now so _admit can refill them this tick, but extract
-        # results only after the next chunk is dispatched. Their final
-        # populations are gathered into a compact fresh pytree FIRST —
-        # _jit_chunk donates its state argument, so the pre-dispatch buffers
-        # are deleted once the next chunk is dispatched; the gather (a cheap
-        # async device op) owns independent buffers.
+        # bookkeeping now so admission can refill them this tick, but
+        # extract results only after the next chunk is dispatched. Their
+        # final populations are snapshot into a compact fresh pytree FIRST
+        # (inside _serve_step, or by _gather on the legacy path) — the
+        # chunk program donates its state argument, so the pre-dispatch
+        # buffers are deleted once the next chunk is dispatched; the
+        # snapshot owns independent buffers.
         harvest = []
-        snapshot = None
         for i, slot in enumerate(self._slots):
             if slot.ticket is not None and slot.remaining <= 0:
                 harvest.append((i, slot.ticket))
                 slot.ticket, slot.remaining = None, 0
+        rows, groups = self._pick_admissions()
+        occupied = self.active()
+
+        if self._serve_step is not None and occupied:
+            return self._tick_fused(harvest, rows, groups, occupied)
+
+        # legacy multi-program tick: host-eval engines (whose chunk is a
+        # host loop) and the occupied=0 endgame (nothing to advance — a
+        # fused dispatch would burn a whole idle chunk just to snapshot)
+        snapshot = None
         if harvest:
-            # one fused gather dispatch, padded to a fixed row count so it
-            # stays a single lifetime executable (pad rows are ignored)
             gidx = [i for i, _ in harvest]
             gidx += [gidx[-1]] * (self.n_slots - len(gidx))
             snapshot = self._gather(self.state,
                                     jnp.asarray(gidx, jnp.int32))
-        self._admit()
-        occupied = self.active()
+        self._apply_admissions(rows, groups)
         if occupied:
             self.state = self.balgo._jit_chunk(
                 self.state, self.balgo.ctx, self.chunk)
-            # The dispatch above is async: while the chunk runs, prepare
-            # the next queued requests' admission work (target CLIP-encode
-            # + single-slot init) so the next _admit only scatters. The
-            # host-side cost (tokenization, cache lookups, dispatch RPC
-            # over the device tunnel) overlaps the in-flight chunk instead
-            # of extending the inter-chunk gap.
             self._prefetch()
-            self.stats.ticks += 1
-            per_slot = self.balgo.pop_size * self.chunk
-            self.stats.useful_evals += occupied * per_slot
-            self.stats.total_evals += self.n_slots * per_slot
-            for slot in self._slots:
-                if slot.ticket is not None:
-                    slot.remaining -= self.chunk
+            self._account_dispatch(occupied)
         if harvest:
-            # ONE device->host pull for all finished slots; with a chunk in
-            # flight it completes as soon as the gathered buffers land,
-            # without waiting on (or stalling) the new dispatch.
             host_state = jax.device_get(snapshot)
             for j, (_, ticket) in enumerate(harvest):
                 self._harvest(j, ticket, host_state)
         return bool(occupied or harvest)
+
+    def _tick_fused(self, harvest, rows, groups, occupied: int) -> bool:
+        """One-program tick: gather + admit + chunk in a single donated
+        dispatch. Admissions beyond the newest prepare block (only when a
+        tick admits requests prepared across different prefetch rounds)
+        pre-scatter through the legacy programs; the final block rides the
+        fused dispatch as a masked dense select."""
+        assert not rows, "row-form admissions only occur on the host path"
+        groups = list(groups.values())
+        fused = groups.pop() if groups else None
+        if groups:
+            self._apply_admissions([], dict(enumerate(groups)))
+        K = self.n_slots
+        gidx = [i for i, _ in harvest] or [0]
+        gidx += [gidx[-1]] * (K - len(gidx))
+        mask = [False] * K
+        perm = [0] * K
+        if fused is not None:
+            feats2, bstate, pairs = fused
+            for i, j in pairs:
+                mask[i], perm[i] = True, j
+        else:
+            # admission-free tick: the newest block is a shape-matching
+            # placeholder, fully masked out (first dispatch can't precede
+            # the first admission, so one always exists)
+            feats2, bstate = self._last_block
+        rest_ctx = {k: v for k, v in self.balgo.ctx.items() if k != "target"}
+        self.state, target, snapshot = self._serve_step(
+            self.state, self.balgo.ctx["target"], rest_ctx,
+            jnp.asarray(gidx, jnp.int32), jnp.asarray(mask),
+            jnp.asarray(perm, jnp.int32), feats2, bstate, self.chunk)
+        self.balgo.ctx["target"] = target
+        # The dispatch above is async: while the chunk runs, prepare the
+        # next queued requests' admission work (target CLIP-encode +
+        # init) so the next admission only selects rows in.
+        self._prefetch()
+        self._account_dispatch(occupied)
+        if harvest:
+            # ONE device->host pull for all finished slots; with the chunk
+            # in flight it completes as soon as the snapshot buffers land,
+            # without waiting on (or stalling) the new dispatch.
+            host_state = jax.device_get(snapshot)
+            for j, (_, ticket) in enumerate(harvest):
+                self._harvest(j, ticket, host_state)
+        return True
+
+    def _account_dispatch(self, occupied: int) -> None:
+        self.stats.ticks += 1
+        per_slot = self.balgo.pop_size * self.chunk
+        self.stats.useful_evals += occupied * per_slot
+        self.stats.total_evals += self.n_slots * per_slot
+        for slot in self._slots:
+            if slot.ticket is not None:
+                slot.remaining -= self.chunk
 
     def run(self, forever: bool = False) -> None:
         """Pump ticks until the queue and all slots drain (or, with
@@ -324,17 +445,18 @@ class SearchServer:
 
     def _prepare_many(self, items) -> Dict[int, tuple]:
         """Admission work for several requests at once: `items` is a list
-        of (ticket, target). Single requests (and the host-eval path) come
-        back in row form `(feat, s0)` via `_prepare`; larger batches come
-        back in BLOCK form `(feats2, bstate, j)` — each block of up to
-        n_slots requests initializes in ONE vmapped dispatch (targets
-        encoded in one call, rows padded by repetition and discarded), and
-        the per-request entries reference row `j` of the shared block
-        arrays so admission never slices rows on the host. Either way,
+        of (ticket, target). The host-eval path comes back in row form
+        `(feat, s0)` via `_prepare`; otherwise requests come back in BLOCK
+        form `(feats2, bstate, j)` — each block of up to n_slots requests
+        initializes in ONE vmapped dispatch (targets encoded in one call,
+        rows padded by repetition and discarded), and the per-request
+        entries reference row `j` of the shared block arrays so admission
+        never slices rows on the host (and the fused one-program tick can
+        select them in without a separate scatter dispatch). Either way,
         per-request results are bitwise `_prepare`'s."""
         if not items:
             return {}
-        if self._batch_init is None or len(items) == 1:
+        if self._batch_init is None:
             return {t: self._prepare(t, tgt) for t, tgt in items}
         K = self.n_slots
         rest = {k: v for k, v in self.balgo.ctx.items() if k != "target"}
@@ -350,6 +472,7 @@ class SearchServer:
                 jnp.asarray([t for t, _ in padded], jnp.uint32))
             feats2 = feats[:, None, :]                           # [K, 1, D]
             bstate = self._batch_init(keys, {**rest, "target": feats2})
+            self._last_block = (feats2, bstate)
             for j, (t, _) in enumerate(block):
                 out[t] = (feats2, bstate, j)
         return out
@@ -364,16 +487,20 @@ class SearchServer:
         self._prepared.update(self._prepare_many(
             [(t, tgt) for t, tgt in head if t not in self._prepared]))
 
-    def _admit(self) -> None:
+    def _pick_admissions(self):
+        """Pop queued requests into free slots (bookkeeping + preparation
+        only — no state writes). Returns (rows, groups): row-form entries
+        (slot_index, feat, s0) from the host-eval path, and block-form
+        groups id(bstate) -> (feats2, bstate, [(slot_index, block_row)])."""
         free = [i for i, s in enumerate(self._slots) if s.ticket is None]
         if not free:
-            return
+            return [], {}
         picked = []   # (ticket, target, n_gen) popped this tick
         with self._lock:
             while self._queue and len(picked) < len(free):
                 picked.append(self._queue.popleft())
         if not picked:
-            return
+            return [], {}
         self._prepared.update(self._prepare_many(
             [(t, tgt) for t, tgt, _ in picked if t not in self._prepared]))
         self.stats.admission_evals += len(picked) * self.balgo.pop_size
@@ -389,10 +516,17 @@ class SearchServer:
                                   (feats2, bstate, []))[2].append((i, j))
             self._slots[i].ticket = ticket
             self._slots[i].remaining = n_gen
-        # ONE fused donated program per group updates ctx target + every
-        # state leaf for all its admitted slots, padded to the compiled
-        # n_slots row count (duplicate indices write identical values) so
-        # each program stays a single lifetime executable.
+        return rows, groups
+
+    def _apply_admissions(self, rows, groups) -> None:
+        """Scatter-program admission (the legacy/host path): ONE fused
+        donated program per group updates ctx target + every state leaf
+        for all its admitted slots, padded to the compiled n_slots row
+        count (duplicate indices write identical values) so each program
+        stays a single lifetime executable."""
+        if not rows and not groups:
+            return
+
         def pad(seq):
             return jnp.asarray(seq + [seq[-1]] * (self.n_slots - len(seq)),
                                dtype=jnp.int32)

@@ -358,8 +358,13 @@ class Trainer:
 
             new_state = TrainState(g_params, d_params, g_opt, d_opt,
                                    gs_params, pl_avg, state.step + 1, key)
+            # grad global-norms (reference utils.get_grad_norm_from_optimizer,
+            # train.py:610-654) — computed on the pre-update grads the same
+            # step applies, free next to the backward passes
             return new_state, {"d_loss": d_loss, "g_loss": g_loss,
-                               "pl_avg": pl_avg}
+                               "pl_avg": pl_avg,
+                               "g_grad_norm": optax.global_norm(g_grads),
+                               "d_grad_norm": optax.global_norm(d_grads)}
 
         return step
 

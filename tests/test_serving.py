@@ -155,6 +155,38 @@ def test_cli_serve_mode(tmp_path):
         assert f.read() == "a blue car"
 
 
+def test_server_mesh_sharded_matches_unsharded():
+    """Slot-axis mesh serving (serving.py scale-out): the same request
+    stream through a slot-sharded server on the 8-device mesh produces
+    exactly the unsharded server's results — the slot axis is §11's
+    embarrassingly-parallel search axis, so sharding is pure placement."""
+    from clip_glass_tpu.parallel import make_mesh
+    prob = _tiny_problem(use_d=False)
+    targets = [f"portrait {i}" for i in range(5)]
+
+    def serve(mesh):
+        server = SearchServer(prob, n_slots=8, chunk=2,
+                              key=jax.random.PRNGKey(7), mesh=mesh)
+        tickets = [server.submit(t, n_gen=4) for t in targets]
+        server.run()
+        return [server.results[t] for t in tickets]
+
+    base = serve(None)
+    sharded = serve(make_mesh())
+    for r0, r1 in zip(base, sharded):
+        # X exact; F tolerates GSPMD reduction reassociation in the final
+        # evaluation, same bar as test_parallel's sharded==single-device
+        np.testing.assert_array_equal(r0.pop_X, r1.pop_X)
+        np.testing.assert_allclose(r0.pop_F, r1.pop_F, rtol=1e-5, atol=1e-6)
+
+
+def test_server_mesh_rejects_bad_fit():
+    from clip_glass_tpu.parallel import make_mesh
+    prob = _tiny_problem(use_d=False)
+    with pytest.raises(ValueError, match="must divide"):
+        SearchServer(prob, n_slots=3, chunk=2, mesh=make_mesh())
+
+
 def test_server_map_convenience():
     prob = _tiny_problem(use_d=False)
     server = SearchServer(prob, n_slots=2, chunk=2, key=jax.random.PRNGKey(4))

@@ -188,3 +188,41 @@ def test_image_folder_prefetch_abandoned_iterator_stops(tmp_path):
     # the abandoned worker exits once its stop event is set (bounded by the
     # 0.25 s put timeout); only it2's worker remains
     assert threading.active_count() <= n_before
+
+
+def test_misc_helpers_match_reference_semantics():
+    """utils/misc.py: the reference's grab-bag helpers (stylegan2/utils.py
+    AttributeDict/to_list/bool_type/range_type) behave identically."""
+    import argparse
+    import pickle
+
+    import pytest as _pytest
+
+    from clip_glass_tpu.utils import (AttributeDict, bool_type, range_type,
+                                      to_list)
+
+    d = AttributeDict(a=1)
+    d.b = {"x": 2}
+    assert d.a == 1 and d["b"]["x"] == 2
+    with _pytest.raises(AttributeError):
+        _ = d.missing
+    del d.a
+    assert "a" not in d
+    rt = pickle.loads(pickle.dumps(d))
+    assert rt == d and isinstance(rt, AttributeDict)
+    nested = AttributeDict.convert_dict_recursive(
+        {"top": {"inner": {"leaf": 3}}, "plain": 4})
+    assert nested.top.inner.leaf == 3 and nested.plain == 4
+
+    assert to_list(None) == []
+    assert to_list((1, 2)) == [1, 2]
+    assert to_list(5) == [5]
+    assert to_list([7]) == [7]
+
+    assert bool_type("Yes") is True and bool_type("0") is False
+    assert bool_type(True) is True
+    with _pytest.raises(argparse.ArgumentTypeError):
+        bool_type("maybe")
+
+    assert list(range_type("2-5")) == [2, 3, 4, 5]
+    assert range_type("1,4,9") == [1, 4, 9]
