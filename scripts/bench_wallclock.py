@@ -24,6 +24,7 @@ import argparse
 import json
 import os
 import re
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -54,8 +55,16 @@ def run_once(args, idx: int) -> dict:
     if not total:
         raise RuntimeError(f"run {idx}: no wallclock line in output:\n"
                            f"{out[-800:]}")
+    # per-phase attribution from the CLI's verbose breakdown line, e.g.
+    # "wallclock: total=206.6s imports=0.2s setup=15.3s init(gen0)=190.1s
+    #  search+dumps=18.2s final_artifacts=2.7s" — init(gen0) is the axon
+    # server's executable load, not client compute (BASELINE.md round-3
+    # attribution), so the report must separate it from the search rate.
+    phases = {k: float(v) for k, v in
+              re.findall(r" ([\w+()]+)=([0-9.]+)s", out) if k != "total"}
     return {"total_s": float(total.group(1)),
-            "rate_gen_s": float(rate[-1]) if rate else None}
+            "rate_gen_s": float(rate[-1]) if rate else None,
+            "phases": phases}
 
 
 def main() -> int:
@@ -77,13 +86,13 @@ def main() -> int:
         r = run_once(args, i)
         results.append(r)
         print(f"# run {i}: total {r['total_s']:.1f}s  "
-              f"rate {r['rate_gen_s']} gen/s", file=sys.stderr)
+              f"rate {r['rate_gen_s']} gen/s  phases {r['phases']}",
+              file=sys.stderr)
 
     totals = sorted(r["total_s"] for r in results)
     rates = sorted(r["rate_gen_s"] for r in results if r["rate_gen_s"])
     n = len(totals)
-    median = (totals[n // 2] if n % 2 else
-              0.5 * (totals[n // 2 - 1] + totals[n // 2]))
+    median = statistics.median(totals)
     out = {
         "metric": (f"wallclock_200gen ({args.config}, "
                    f"{args.generations} gens, median of {n} hot runs)"),
@@ -91,8 +100,13 @@ def main() -> int:
         "min_s": round(totals[0], 2),
         "max_s": round(totals[-1], 2),
         "spread_pct": round(100 * (totals[-1] - totals[0]) / median, 1),
-        "median_rate_gen_s": rates[len(rates) // 2] if rates else None,
+        "median_rate_gen_s": (round(statistics.median(rates), 3)
+                              if rates else None),
         "per_run_s": [round(t, 2) for t in totals],
+        "median_phase_s": {
+            k: round(statistics.median(r["phases"].get(k, 0.0)
+                                       for r in results), 2)
+            for k in results[0]["phases"]},
         "runs": n,
     }
     print(json.dumps(out))
