@@ -80,6 +80,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from <tmp-folder>/ga_state.npz")
     p.add_argument("--mesh", action="store_true",
                    help="shard the population across all visible devices")
+    p.add_argument("--distributed", type=str, default=None, metavar="SPEC",
+                   help="multi-host: initialize jax.distributed before the "
+                        "backend starts. 'auto' = cluster auto-detection "
+                        "(TPU pod metadata / GKE / SLURM); "
+                        "'<host:port>,<num_processes>,<process_id>' = "
+                        "explicit rendezvous (run the same command on every "
+                        "host with its own process_id — the analog of the "
+                        "reference trainer's MASTER_ADDR/PORT + rank, "
+                        "train.py:258-277). Implies --mesh: the population "
+                        "shards over the GLOBAL device list; process 0 "
+                        "writes the artifacts. Env CGT_DISTRIBUTED is the "
+                        "flagless equivalent")
     p.add_argument("--verbose", action="store_true", default=True)
     p.add_argument("--tiny", action="store_true",
                    help="tiny model variants (smoke tests / CI; random weights)")
@@ -234,12 +246,20 @@ def _serve_mode(problem, config, args) -> int:
     th = threading.Thread(target=reader, daemon=True)
     th.start()
     saver = ThreadPoolExecutor(max_workers=1)
-    pending = {}
+    pending = {}          # ticket -> future (keys also dedup submissions)
+    unchecked = set()     # tickets whose finished future we haven't surfaced
     while True:
         worked = server.tick()
         for ticket in sorted(set(server.results) - set(pending)):
             pending[ticket] = saver.submit(
                 _write_artifacts, ticket, server.results[ticket])
+            unchecked.add(ticket)
+        # Fail fast: a persistently failing artifact writer (bad tmp
+        # folder, full disk) aborts the serve now, not after the whole
+        # request stream drains.
+        for ticket in [t for t in unchecked if pending[t].done()]:
+            unchecked.discard(ticket)
+            pending[ticket].result()   # re-raises a writer exception
         if not worked:
             if eof.is_set() and not server.pending() and not server.active():
                 break
@@ -267,6 +287,13 @@ def main(argv=None) -> int:
     from clip_glass_tpu.core.backend import (enable_compile_cache,
                                              pin_platform_from_env)
     pin_platform_from_env()  # JAX_PLATFORMS=cpu etc. wins over plugin default
+    from clip_glass_tpu.parallel import distributed as dist
+    dist.initialize(args.distributed)  # before the first backend touch
+    if dist.active() and not args.mesh:
+        args.mesh = True  # a process-spanning run only makes sense sharded
+        if dist.is_primary():
+            print(f"[distributed] {jax.process_count()} processes / "
+                  f"{len(jax.devices())} devices; --mesh implied")
     enable_compile_cache()  # repeated searches skip the big XLA compiles
     from clip_glass_tpu.config import get_config
     from clip_glass_tpu.core.checkpoint import load_state, save_state
@@ -313,6 +340,10 @@ def main(argv=None) -> int:
     problem = GenerationProblem(config, clip_weights=clip_weights,
                                 clip_cfg=clip_cfg, model_cfg=model_cfg)
     if args.serve:
+        if dist.active():
+            build_parser().error(
+                "--serve is single-host: the server's slot axis shards over "
+                "local devices; run one server per host instead")
         return _serve_mode(problem, config, args)
     n_search = len(targets)
     if n_search > 1:
@@ -330,6 +361,12 @@ def main(argv=None) -> int:
     else:
         algorithm = problem.make_algorithm()
         folders = [config.tmp_folder]
+    if dist.active() and (algorithm.base.host_eval if n_search > 1
+                          else algorithm.host_eval):
+        build_parser().error(
+            "img2txt's host-staged BPE round trip reads the population on "
+            "the host each generation and is single-host only; multi-host "
+            "meshes support the pure-jit configs (txt2img)")
     ext = "jpg" if config.task == "txt2img" else "txt"
 
     phases["setup"] = time.perf_counter() - t0 - sum(phases.values())
@@ -356,20 +393,21 @@ def main(argv=None) -> int:
                                     os.path.join(folder, name)))
 
     def save_callback(state):
-        gen = int(np.asarray(state.gen).ravel()[0])
-        X = np.asarray(state.X)
-        F = np.asarray(state.F)
-        if n_search > 1:
-            for i, folder in enumerate(folders):
-                _dump_one(X[i], F[i], gen, folder)
-        else:
-            _dump_one(X, F, gen, config.tmp_folder)
+        gen = int(dist.fetch(state.gen).ravel()[0])
+        X = dist.fetch(state.X)   # allgather when the mesh spans hosts
+        F = dist.fetch(state.F)
+        if dist.is_primary():     # process 0 owns the artifact directory
+            if n_search > 1:
+                for i, folder in enumerate(folders):
+                    _dump_one(X[i], F[i], gen, folder)
+            else:
+                _dump_one(X, F, gen, config.tmp_folder)
         save_state(state, config.tmp_folder, config.name)
         # the first chunk's wall time is dominated by XLA compilation:
         # rebaseline there so reported rates are steady-state
         meter.set_generation(gen,
                              rebaseline=(meter.generation == 0 and gen > 0))
-        if args.verbose and meter.gens_per_sec > 0:
+        if args.verbose and dist.is_primary() and meter.gens_per_sec > 0:
             print(f"  rate: {meter.gens_per_sec:.2f} gen/s "
                   f"({meter.candidates_per_sec:.1f} candidates/s)")
 
@@ -386,7 +424,7 @@ def main(argv=None) -> int:
     if mesh is not None:
         state = shard_state(state, mesh)
 
-    gen0 = int(np.asarray(jax.device_get(state.gen)).ravel()[0])
+    gen0 = int(dist.fetch(state.gen).ravel()[0])
     remaining = config.generations - gen0
     phases["init(gen0)"] = time.perf_counter() - t0 - sum(phases.values())
     with device_trace(args.profile):
@@ -408,8 +446,9 @@ def main(argv=None) -> int:
     phases["search+dumps"] = time.perf_counter() - t0 - sum(phases.values())
 
     # ---- final artifacts (reference run.py:79-125), one set per search
-    for res, folder in zip(results, folders):
-        _final_artifacts(problem, config, res, folder, gen_fn)
+    if dist.is_primary():
+        for res, folder in zip(results, folders):
+            _final_artifacts(problem, config, res, folder, gen_fn)
     phases["final_artifacts"] = time.perf_counter() - t0 - sum(phases.values())
     if args.verbose:
         total = time.perf_counter() - t0

@@ -17,17 +17,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from clip_glass_tpu.evolve.algorithm import GAState
+from clip_glass_tpu.parallel import distributed as dist
 
 STATE_FILE = "ga_state.npz"
 
 
 def save_state(state: GAState, folder: str, config_name: str = "") -> str:
-    os.makedirs(folder, exist_ok=True)
     path = os.path.join(folder, STATE_FILE)
+    # fetch is a collective (process_allgather) when state spans hosts, so
+    # EVERY process runs it; only process 0 touches the filesystem (the
+    # reference's rank-0 checkpointing, train.py:560-575).
+    X, F = dist.fetch(state.X), dist.fetch(state.F)
+    key, gen = dist.fetch(state.key), dist.fetch(state.gen)
+    if not dist.is_primary():
+        return path
+    os.makedirs(folder, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        np.savez(f, X=np.asarray(state.X), F=np.asarray(state.F),
-                 key=np.asarray(state.key), gen=np.asarray(state.gen),
+        np.savez(f, X=X, F=F, key=key, gen=gen,
                  config=np.asarray(config_name))
     os.replace(tmp, path)  # atomic: never a torn checkpoint
     return path

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from clip_glass_tpu.parallel.distributed import fetch
 from clip_glass_tpu.evolve import crossover as xo
 from clip_glass_tpu.evolve import mutation as mut
 from clip_glass_tpu.evolve import sampling as smp
@@ -291,10 +292,10 @@ def minimize(algorithm: Algorithm, n_gen: int, key,
         state = run_chunk(state, algorithm.ctx, chunk)
         done += chunk
         if verbose:
-            F = jax.device_get(state.F)
+            F = fetch(state.F)  # process_allgather when the mesh spans hosts
             print(f"gen {int(state.gen):5d}  best={F.min(0)}  mean={F.mean(0)}")
         if callback is not None:
             callback(state)
 
-    return extract_result(jax.device_get(state.X), jax.device_get(state.F),
+    return extract_result(fetch(state.X), fetch(state.F),
                           algorithm.algorithm, state)

@@ -48,6 +48,7 @@ from jax import lax
 
 from clip_glass_tpu.evolve.algorithm import (Algorithm, GAState, Result,
                                              extract_result, make_jit_chunk)
+from clip_glass_tpu.parallel.distributed import fetch
 
 
 def batched_targets_bundle(problem, targets) -> dict:
@@ -258,15 +259,15 @@ def minimize_batched(balgo: BatchedAlgorithm, n_gen: int, key,
         state = run_chunk(state, balgo.ctx, chunk)
         done += chunk
         if verbose:
-            F = jax.device_get(state.F)          # [K, pop, n_obj]
+            F = fetch(state.F)                   # [K, pop, n_obj]
             best = F.min(axis=1)
             print(f"gen {int(state.gen[0]):5d}  "
                   f"best/search={np.array2string(best, precision=4)}")
         if callback is not None:
             callback(state)
 
-    pop_X = jax.device_get(state.X)
-    pop_F = jax.device_get(state.F)
+    pop_X = fetch(state.X)
+    pop_F = fetch(state.F)
     return [extract_result(pop_X[i], pop_F[i], balgo.algorithm,
                            _slice_state(state, i))
             for i in range(balgo.n_search)]

@@ -716,9 +716,13 @@ class Generator:
         key = jax.random.PRNGKey(self.config.seed)
         rest = {k: v for k, v in bundle.items() if k != "target"}
         flat = Xb.reshape(K * pop, n_var)
-        smb = search_microbatch or K
+        smb = min(search_microbatch or K, K)
         if K % smb:
-            smb = K
+            # Mirror _search_chunked (evolve/batched.py): a non-dividing
+            # microbatch must fail loudly, not silently decode the full
+            # K*pop batch and void the KV-cache bound the option enforces.
+            raise ValueError(
+                f"search_microbatch {smb} must divide n_search {K}")
         rows = smb * pop
         ids_groups = [self._host_bgen_jit(flat[g * rows:(g + 1) * rows],
                                           rest, key)

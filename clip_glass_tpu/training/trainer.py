@@ -34,6 +34,7 @@ import optax
 
 from clip_glass_tpu.core import pytree
 from clip_glass_tpu.models.stylegan2 import model as sg2
+from clip_glass_tpu.parallel import distributed as dist
 from clip_glass_tpu.training import losses
 
 
@@ -186,6 +187,14 @@ class Trainer:
         else:
             self.state = jax.jit(build_state)(kg, kd, self._key,
                                               g_params, d_params)
+            if mesh is not None and dist.active():
+                # multi-host mesh: the step's sharding constraints name a
+                # process-spanning mesh, so its inputs must be GLOBAL
+                # arrays — place the state replicated on the mesh (every
+                # process built the identical value from the same seed)
+                from jax.sharding import NamedSharding, PartitionSpec
+                self.state = jax.device_put(
+                    self.state, NamedSharding(mesh, PartitionSpec()))
         self._train_step = jax.jit(self._build_step())
 
     # ------------------------------------------------------------ model fns
@@ -383,7 +392,14 @@ class Trainer:
         # serializing the loop against async dispatch
         step = int(self.state.step)
         for it in range(iterations):
-            reals = jnp.asarray(next(data))
+            raw = next(data)
+            if self.mesh is not None and dist.active():
+                # each process's iterator yields ITS slice of the global
+                # batch (the reference's per-rank DataLoader, train.py:465)
+                reals = dist.global_batch_from_local(self.mesh, raw,
+                                                     axis=self.batch_axes)
+            else:
+                reals = jnp.asarray(raw)
             self.state, logs = self._train_step(self.state, reals)
             step += 1
             seen = step * self.cfg.batch_size
@@ -415,6 +431,8 @@ class Trainer:
     def save_checkpoint(self, folder: Optional[str] = None) -> str:
         seen = int(self.state.step) * self.cfg.batch_size
         folder = folder or os.path.join(self.cfg.checkpoint_dir, str(seen))
+        if not dist.is_primary():
+            return folder  # rank-0 checkpointing (reference train.py:560-575)
         os.makedirs(folder, exist_ok=True)
         pytree.save_npz(os.path.join(folder, "G.npz"), self.state.g_params)
         pytree.save_npz(os.path.join(folder, "D.npz"), self.state.d_params)
