@@ -158,6 +158,13 @@ def init(key) -> Dict:
     }
 
 
+def load_npz(path: str) -> Dict:
+    """Converted-checkpoint load (the npz scripts/convert_weights.py
+    inception emits)."""
+    from clip_glass_tpu.core import pytree
+    return pytree.restore_lists(pytree.load_npz(path))
+
+
 # ---------------------------------------------------------------- forward
 
 def _a(x, p, policy):

@@ -79,6 +79,17 @@ def convert_torch_lpips(vgg_features_sd: Dict, linear_weights: Sequence) -> Dict
     return {"convs": convs, "heads": heads}
 
 
+def load_npz(path: str) -> Dict:
+    """Converted-checkpoint load (the npz scripts/convert_weights.py lpips
+    emits); restores ONLY the heads list from its flattened encoding —
+    `convs` is keyed by torchvision layer index, i.e. digit strings that
+    restore_lists would wrongly collapse into a dense list."""
+    from clip_glass_tpu.core import pytree
+    tree = pytree.load_npz(path)
+    return {"convs": tree["convs"],
+            "heads": pytree.restore_lists(tree["heads"])}
+
+
 def _conv(x, p, policy):
     y = jax.lax.conv_general_dilated(
         x, policy.cast_compute(p["w"]), (1, 1), ((1, 1), (1, 1)),

@@ -11,6 +11,9 @@ Usage:
   python scripts/convert_weights.py stylegan2-tf stylegan2-ffhq.pkl   out_dir
   python scripts/convert_weights.py gpt2         gpt2-pytorch_model.bin out.npz
   python scripts/convert_weights.py biggan       biggan-deep-256.bin  out.npz
+  python scripts/convert_weights.py lpips        vgg16-397923af.pth   out.npz \
+                                                 --linear vgg.pth
+  python scripts/convert_weights.py inception    pt_inception-*.pth   out.npz
 
 Run with --urls to print the checkpoint acquisition table (every URL the
 reference's download-weights.sh / convert_from_tf.py / clip.py /
@@ -64,6 +67,17 @@ WEIGHT_URLS = {
                               "biggan/biggan-deep-512-pytorch_model.bin",
     "biggan biggan-deep-128": "https://s3.amazonaws.com/models.huggingface.co/"
                               "biggan/biggan-deep-128-pytorch_model.bin",
+    # metric models (reference external_models/lpips.py:36-38 linear-head
+    # URL + the torchvision vgg16 zoo file its constructor downloads;
+    # external_models/inception.py:27 FID_WEIGHTS_URL)
+    "lpips vgg16 (torchvision)": "https://download.pytorch.org/models/"
+                                 "vgg16-397923af.pth",
+    "lpips linear v0.1 (richzhang)": "https://github.com/richzhang/"
+                                     "PerceptualSimilarity/blob/master/lpips/"
+                                     "weights/v0.1/vgg.pth?raw=true",
+    "inception (pytorch-fid)": "https://github.com/mseitzer/pytorch-fid/"
+                               "releases/download/fid_weights/"
+                               "pt_inception-2015-12-05-6726825d.pth",
 }
 
 
@@ -76,12 +90,14 @@ def main() -> int:
     p = argparse.ArgumentParser(
         epilog="use --urls to print the checkpoint acquisition table")
     p.add_argument("kind", choices=["clip", "stylegan2", "stylegan2-tf",
-                                    "gpt2", "biggan"])
+                                    "gpt2", "biggan", "lpips", "inception"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--model-name", default="biggan-deep-256",
                    help="biggan variant for the biggan kind; 'auto' infers "
                         "the geometry from the checkpoint shapes")
+    p.add_argument("--linear", default=None,
+                   help="richzhang v0.1 linear-weights .pth (lpips kind)")
     args = p.parse_args()
 
     from clip_glass_tpu.core import pytree
@@ -124,6 +140,32 @@ def main() -> int:
             # exiting 0 with an empty out dir would read as success to
             # scripted callers (download_weights.sh's `|| die` pattern)
             sys.exit(f"no G.pth/D.pth/Gs.pth found under {src_dir!r}")
+    elif args.kind == "lpips":
+        # src = torchvision vgg16 zoo file (full state dict incl. the
+        # classifier head the LPIPS metric never touches); --linear = the
+        # richzhang v0.1 vgg.pth of 5 per-slice head tensors (reference
+        # external_models/lpips.py:36-56 consumes exactly this pair)
+        import torch
+        from clip_glass_tpu.metrics import lpips as jlpips
+        if not args.linear:
+            sys.exit("lpips kind requires --linear <richzhang vgg.pth>")
+        sd = torch.load(args.src, map_location="cpu", weights_only=False)
+        feats = {k[len("features."):]: v for k, v in sd.items()
+                 if k.startswith("features.")} or sd
+        lin = torch.load(args.linear, map_location="cpu", weights_only=False)
+        params = jlpips.convert_torch_lpips(feats, list(lin.values()))
+        pytree.save_npz(args.dst, params)
+        print(f"LPIPS-VGG16 ({len(params['convs'])} convs + "
+              f"{len(params['heads'])} linear heads) -> {args.dst}")
+    elif args.kind == "inception":
+        # src = the pytorch-fid pt_inception checkpoint (reference
+        # external_models/inception.py:27); fc / bookkeeping keys ignored
+        import torch
+        from clip_glass_tpu.metrics import inception as jinc
+        sd = torch.load(args.src, map_location="cpu", weights_only=False)
+        params = jinc.convert_torch_inception(sd)
+        pytree.save_npz(args.dst, params)
+        print(f"InceptionV3 (pytorch-fid layout, BN folded) -> {args.dst}")
     elif args.kind == "stylegan2-tf":
         from clip_glass_tpu.weights import convert_stylegan2_tf
         os.makedirs(args.dst, exist_ok=True)

@@ -35,7 +35,7 @@ usage() {
     echo "./scripts/download_weights.sh <model> [weights_dir]"
     echo "Possible <model> are: CLIP-ViT-B-32, CLIP-RN50, GPT2,"
     echo "  StyleGAN2-ffhq, StyleGAN2-car, StyleGAN2-church,"
-    echo "  BigGAN-256, BigGAN-512, all"
+    echo "  BigGAN-256, BigGAN-512, LPIPS, Inception, all"
     echo "Example:"
     echo "./scripts/download_weights.sh StyleGAN2-ffhq"
     exit 1
@@ -137,6 +137,28 @@ download_stylegan2() {
         "$WEIGHTS_DIR/stylegan2/$config" || die "conversion failed: $dest"
 }
 
+# Metric models (reference external_models/lpips.py:36-43 downloads the
+# torchvision vgg16 zoo file + the richzhang v0.1 linear heads;
+# external_models/inception.py:27 the pytorch-fid FID inception). The
+# torchvision/pytorch-fid filenames embed a sha256 prefix their own
+# loaders verify; recorded unpinned here like the reference's fetches.
+lpips() {
+    vgg="$WEIGHTS_DIR/metrics/vgg16-397923af.pth"
+    lin="$WEIGHTS_DIR/metrics/lpips_vgg_v0.1.pth"
+    fetch "https://download.pytorch.org/models/vgg16-397923af.pth" "$vgg"
+    fetch "https://github.com/richzhang/PerceptualSimilarity/blob/master/lpips/weights/v0.1/vgg.pth?raw=true" "$lin"
+    $PY "$REPO_DIR/scripts/convert_weights.py" lpips "$vgg" \
+        "$WEIGHTS_DIR/metrics/lpips_vgg16.npz" --linear "$lin" \
+        || die "conversion failed: $vgg"
+}
+
+inception() {
+    dest="$WEIGHTS_DIR/metrics/pt_inception-2015-12-05-6726825d.pth"
+    fetch "https://github.com/mseitzer/pytorch-fid/releases/download/fid_weights/pt_inception-2015-12-05-6726825d.pth" "$dest"
+    $PY "$REPO_DIR/scripts/convert_weights.py" inception "$dest" \
+        "$WEIGHTS_DIR/metrics/inception.npz" || die "conversion failed: $dest"
+}
+
 # download_biggan <model-name>  (pytorch_pretrained_biggan checkpoint
 # layout; the package's own URL map points at the legacy S3 bucket, which
 # is being retired — if both mirrors fail, obtain the
@@ -166,13 +188,15 @@ run_one() {
         StyleGAN2-church) download_stylegan2 "church-config-f" ;;
         BigGAN-256) download_biggan "biggan-deep-256" ;;
         BigGAN-512) download_biggan "biggan-deep-512" ;;
+        LPIPS) lpips ;;
+        Inception) inception ;;
         *) echo "Unknown model '$1'"; usage ;;
     esac
 }
 
 if [ "$1" = "all" ]; then
     for m in CLIP-ViT-B-32 CLIP-RN50 GPT2 StyleGAN2-ffhq StyleGAN2-car \
-             StyleGAN2-church BigGAN-256 BigGAN-512; do
+             StyleGAN2-church BigGAN-256 BigGAN-512 LPIPS Inception; do
         run_one "$m"
     done
 else

@@ -18,6 +18,11 @@ environment with no egress (`validate_pretrained.py --synthetic` drives it):
 - biggan/<name>-pytorch_model.bin — the pytorch_pretrained_biggan layout:
   weight_orig/weight_u/weight_v spectral-norm triplets and [n_stats, C]
   running-stat tables (tests/biggan_hf_oracle.py transcription)
+- metrics/vgg16-397923af.pth + metrics/lpips_vgg_v0.1.pth — the torchvision
+  vgg16 zoo file + richzhang v0.1 linear heads LPIPS downloads (reference
+  external_models/lpips.py:36-43)
+- metrics/pt_inception-2015-12-05-6726825d.pth — the pytorch-fid FID
+  inception checkpoint (reference external_models/inception.py:27)
 
 Geometry is SMALL but structurally complete (every key family the real
 checkpoints carry), so the rehearsal runs in CI seconds; full-geometry
@@ -292,6 +297,97 @@ def synth_biggan(dest, cfg=None, seed=0):
     return cfg
 
 
+# ------------------------------------------------------- LPIPS / Inception
+
+def synth_vgg16(dest, div=8, seed=0):
+    """torchvision vgg16 zoo-file layout (the file LPIPS's constructor
+    downloads, reference external_models/lpips.py:43): `features.{i}.weight/
+    bias` for all 13 convs (channels/div geometry — the LPIPS converter and
+    forward are shape-polymorphic) plus the classifier head the metric
+    never touches (its presence rehearses extra-key tolerance)."""
+    import torch
+
+    from clip_glass_tpu.metrics import lpips as jlp
+
+    g = torch.Generator().manual_seed(seed)
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.1
+
+    sd = {}
+    for idx, cin, cout in jlp._VGG_CFG:
+        ci = 3 if cin == 3 else max(cin // div, 1)
+        co = max(cout // div, 1)
+        sd[f"features.{idx}.weight"] = r(co, ci, 3, 3)
+        sd[f"features.{idx}.bias"] = r(co)
+    last = max(512 // div, 1)
+    dims = [(last * 49, 64), (64, 64), (64, 10)]  # small stand-in head
+    for li, (i, o) in zip((0, 3, 6), dims):
+        sd[f"classifier.{li}.weight"] = r(o, i)
+        sd[f"classifier.{li}.bias"] = r(o)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    torch.save(sd, dest)
+
+
+def synth_lpips_linear(dest, div=8, seed=0):
+    """richzhang v0.1 vgg.pth layout: an ordered dict of 5 per-slice
+    `lin{i}.model.1.weight` tensors shaped [1, C, 1, 1] (reference
+    external_models/lpips.py:36-56 iterates .values() in file order)."""
+    import collections
+
+    import torch
+
+    from clip_glass_tpu.metrics import lpips as jlp
+
+    g = torch.Generator().manual_seed(seed)
+    sd = collections.OrderedDict()
+    for i, c in enumerate(jlp._SLICE_OUT):
+        co = max(c // div, 1)
+        sd[f"lin{i}.model.1.weight"] = torch.rand(1, co, 1, 1,
+                                                  generator=g) * 0.2
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    torch.save(sd, dest)
+
+
+def synth_inception(dest, seed=0):
+    """pytorch-fid pt_inception checkpoint layout at REAL geometry: every
+    BasicConv2d as `<block>[.<branch>].conv.weight` + `.bn.{weight,bias,
+    running_mean,running_var,num_batches_tracked}`, plus the fc head
+    (fid_inception_v3 is built num_classes=1008, aux_logits=False —
+    reference external_models/inception.py:134-158); the converter must
+    fold the BN stats and ignore fc/bookkeeping keys."""
+    import jax
+    import torch
+
+    from clip_glass_tpu.metrics import inception as inc
+
+    rng = np.random.default_rng(seed)
+    template = jax.jit(inc.init)(jax.random.PRNGKey(0))
+    sd = {}
+
+    def fill(prefix, p):
+        kh, kw, ci, co = np.asarray(p["w"]).shape
+        t = lambda a: torch.from_numpy(a.astype(np.float32))  # noqa: E731
+        sd[f"{prefix}.conv.weight"] = t(rng.normal(0, 0.05, (co, ci, kh, kw)))
+        sd[f"{prefix}.bn.weight"] = t(rng.uniform(0.5, 1.5, co))
+        sd[f"{prefix}.bn.bias"] = t(rng.normal(0, 0.1, co))
+        sd[f"{prefix}.bn.running_mean"] = t(rng.normal(0, 0.1, co))
+        sd[f"{prefix}.bn.running_var"] = t(rng.uniform(0.5, 1.5, co))
+        sd[f"{prefix}.bn.num_batches_tracked"] = torch.tensor(0)
+
+    for block, sub in template.items():
+        if "w" in sub:  # stem conv
+            fill(block, sub)
+        else:
+            for br, p in sub.items():
+                fill(f"{block}.{br}", p)
+    sd["fc.weight"] = torch.from_numpy(
+        rng.normal(0, 0.02, (1008, 2048)).astype(np.float32))
+    sd["fc.bias"] = torch.zeros(1008)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    torch.save(sd, dest)
+
+
 # ------------------------------------------------------------------ main
 
 def synthesize_all(out_dir):
@@ -316,6 +412,16 @@ def synthesize_all(out_dir):
     p = os.path.join(out_dir, "biggan", "biggan-deep-256-pytorch_model.bin")
     synth_biggan(p)
     man["biggan/biggan-deep-256"] = (p, "hf bin (TINY geometry)")
+    p = os.path.join(out_dir, "metrics", "vgg16-397923af.pth")
+    synth_vgg16(p)
+    man["metrics/vgg16 (lpips)"] = (p, "torchvision zoo pth")
+    p = os.path.join(out_dir, "metrics", "lpips_vgg_v0.1.pth")
+    synth_lpips_linear(p)
+    man["metrics/lpips linear v0.1"] = (p, "richzhang pth")
+    p = os.path.join(out_dir, "metrics",
+                     "pt_inception-2015-12-05-6726825d.pth")
+    synth_inception(p)
+    man["metrics/pt_inception"] = (p, "pytorch-fid pth (real geometry)")
     return man
 
 

@@ -365,6 +365,108 @@ def validate_biggan(wdir, out, ref_dir, name, synthetic=False):
     _run()
 
 
+# ------------------------------------------------------------ metric models
+
+@check("lpips/VGG16: convert + torch-oracle parity")
+def validate_lpips(wdir, out):
+    """The LPIPS checkpoint pair (torchvision vgg16 zoo file + richzhang
+    v0.1 linear heads) through convert -> npz -> forward, against a torch
+    oracle computed STRAIGHT from the on-disk state dicts following the
+    reference slice walk (external_models/lpips.py:60-78)."""
+    import numpy as np
+    vgg = need(os.path.join(wdir, "metrics", "vgg16-397923af.pth"))
+    lin = need(os.path.join(wdir, "metrics", "lpips_vgg_v0.1.pth"))
+    npz = need(os.path.join(wdir, "metrics", "lpips_vgg16.npz"))
+    torch = need_torch()
+    import torch.nn.functional as Fnn
+
+    import jax
+    import jax.numpy as jnp
+    from clip_glass_tpu.metrics import lpips as jlp
+
+    params = jlp.load_npz(npz)
+    rng = np.random.default_rng(7)
+    x0 = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    x1 = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    got = np.asarray(jax.jit(jlp.lpips)(params, jnp.asarray(x0),
+                                        jnp.asarray(x1)))
+    same = np.asarray(jax.jit(jlp.lpips)(params, jnp.asarray(x0),
+                                         jnp.asarray(x0)))
+    assert np.isfinite(got).all(), "non-finite distances"
+    assert (np.abs(same) < 1e-5).all(), f"self-distance nonzero: {same}"
+
+    sd = torch.load(vgg, map_location="cpu", weights_only=False)
+    heads = list(torch.load(lin, map_location="cpu",
+                            weights_only=False).values())
+    shift = torch.tensor([-.030, -.088, -.188]).view(1, -1, 1, 1)
+    scale = torch.tensor([.458, .448, .450]).view(1, -1, 1, 1)
+    a = (torch.from_numpy(x0) - shift) / scale
+    b = (torch.from_numpy(x1) - shift) / scale
+    dist = torch.zeros(2)
+    with torch.no_grad():
+        for (conv_ids, pre_pool), head in zip(jlp._SLICES, heads):
+            if pre_pool:
+                a, b = Fnn.max_pool2d(a, 2, 2), Fnn.max_pool2d(b, 2, 2)
+            for ci in conv_ids:
+                w = sd[f"features.{ci}.weight"]
+                bias = sd[f"features.{ci}.bias"]
+                a = Fnn.relu(Fnn.conv2d(a, w, bias, padding=1))
+                b = Fnn.relu(Fnn.conv2d(b, w, bias, padding=1))
+            na = a * torch.rsqrt((a ** 2).sum(1, keepdim=True) + 1e-8)
+            nb = b * torch.rsqrt((b ** 2).sum(1, keepdim=True) + 1e-8)
+            sq = ((na - nb) ** 2).mean(dim=[-1, -2])
+            dist = dist + (sq * head.view(1, -1)).sum(1)
+    err = float(np.max(np.abs(got - dist.numpy())))
+    assert err < 1e-4, f"lpips max abs err {err}"
+    return (f"self-distance 0, vs state-dict torch oracle "
+            f"max|Δ| {err:.2e}")
+
+
+@check("inception/pytorch-fid: convert + BN-fold parity + features")
+def validate_inception(wdir, out):
+    """The pytorch-fid inception checkpoint through convert -> npz ->
+    full-feature forward, with the stem conv+BN numerically checked
+    against torch evaluating the RAW on-disk arrays (the converter's BN
+    fold, eps 1e-3, reference external_models/inception.py:134-158)."""
+    import numpy as np
+    pth = need(os.path.join(wdir, "metrics",
+                            "pt_inception-2015-12-05-6726825d.pth"))
+    npz = need(os.path.join(wdir, "metrics", "inception.npz"))
+    torch = need_torch()
+    import torch.nn.functional as Fnn
+
+    import jax
+    import jax.numpy as jnp
+    from clip_glass_tpu.metrics import inception as jinc
+
+    params = jinc.load_npz(npz)
+    rng = np.random.default_rng(9)
+    imgs = rng.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    feats = np.asarray(jax.jit(lambda p, x: jinc.features(p, x))(
+        params, jnp.asarray(imgs)))
+    assert feats.shape == (2, 2048), f"features shape {feats.shape}"
+    assert np.isfinite(feats).all(), "non-finite features"
+
+    # stem conv+BN oracle from the file's own arrays
+    sd = torch.load(pth, map_location="cpu", weights_only=False)
+    x = rng.normal(0, 1, (1, 3, 33, 33)).astype(np.float32)
+    with torch.no_grad():
+        y = Fnn.conv2d(torch.from_numpy(x), sd["Conv2d_1a_3x3.conv.weight"],
+                       stride=2)
+        y = Fnn.batch_norm(y, sd["Conv2d_1a_3x3.bn.running_mean"],
+                           sd["Conv2d_1a_3x3.bn.running_var"],
+                           sd["Conv2d_1a_3x3.bn.weight"],
+                           sd["Conv2d_1a_3x3.bn.bias"], eps=1e-3)
+        want = Fnn.relu(y).numpy()                        # NCHW
+    got = np.asarray(jinc._conv_bn(
+        jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),      # NHWC
+        params["Conv2d_1a_3x3"], stride=2))
+    err = float(np.max(np.abs(np.transpose(got, (0, 3, 1, 2)) - want)))
+    assert err < 1e-4, f"stem conv+BN max abs err {err}"
+    return (f"[2,2048] features finite; stem BN-fold vs torch "
+            f"max|Δ| {err:.2e}")
+
+
 # --------------------------------------------------- converter CLI rehearsal
 
 def run_convert_cli(wdir, synthetic=False):
@@ -408,6 +510,15 @@ def run_convert_cli(wdir, synthetic=False):
             ["biggan", src, os.path.join(wdir, "biggan", f"{name}.npz"),
              "--model-name", "auto" if synthetic else name],
             src)
+    mdir = os.path.join(wdir, "metrics")
+    vgg = os.path.join(mdir, "vgg16-397923af.pth")
+    cli("lpips vgg16",
+        ["lpips", vgg, os.path.join(mdir, "lpips_vgg16.npz"),
+         "--linear", os.path.join(mdir, "lpips_vgg_v0.1.pth")],
+        vgg)
+    pt = os.path.join(mdir, "pt_inception-2015-12-05-6726825d.pth")
+    cli("inception pytorch-fid",
+        ["inception", pt, os.path.join(mdir, "inception.npz")], pt)
 
 
 def run_cli_drive(wdir, out):
@@ -505,6 +616,8 @@ def main():
     for name in ("biggan-deep-256", "biggan-deep-512"):
         validate_biggan(args.weights_dir, args.out, args.reference, name,
                         synthetic=args.synthetic)
+    validate_lpips(args.weights_dir, args.out)
+    validate_inception(args.weights_dir, args.out)
 
     if not args.no_cli:
         run_cli_drive(args.weights_dir, args.out)

@@ -43,11 +43,15 @@ def test_synthetic_pipeline_rehearsal(tmp_path):
                    "PASS  convert CLI: gpt2",
                    "PASS  convert CLI: stylegan2-tf ffhq-config-f",
                    "PASS  convert CLI: biggan biggan-deep-256",
+                   "PASS  convert CLI: lpips vgg16",
+                   "PASS  convert CLI: inception pytorch-fid",
                    "PASS  clip/ViT-B/32: convert + torch parity",
                    "PASS  clip/RN50: convert + torch parity",
                    "PASS  gpt2: convert + logits/decode parity",
                    "PASS  stylegan2/ffhq-config-f",
                    "PASS  biggan/biggan-deep-256",
+                   "PASS  lpips/VGG16: convert + torch-oracle parity",
+                   "PASS  inception/pytorch-fid: convert + BN-fold parity",
                    "PASS  CLI drive: StyleGAN2_ffhq_d txt2img",
                    "PASS  CLI drive: GPT2 img2txt"):
         assert needle in r.stdout, f"missing: {needle}\n{tail}"
