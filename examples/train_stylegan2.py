@@ -41,16 +41,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iterations", type=int, default=4)
     ap.add_argument("--batch-size", type=int, default=4)
-    ap.add_argument("--tiny", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="TINY test model (default); --no-tiny trains the "
-                         "full-size CONFIG_F 1024px model")
+    # reference-trainer CLI idiom: bool flags take yes/no/true/false values
+    # (utils.misc.bool_type = reference stylegan2/utils.py:184, the coercion
+    # reference train.py uses for its boolean arguments)
+    from clip_glass_tpu.utils.misc import bool_type
+    ap.add_argument("--tiny", type=bool_type, default=True, nargs="?",
+                    const=True,
+                    help="TINY test model (default); --tiny false trains "
+                         "the full-size CONFIG_F 1024px model")
     ap.add_argument("--data", default=None,
                     help="image folder (utils.data.ImageFolder); synthetic "
                          "noise images when omitted")
-    ap.add_argument("--mesh", action="store_true",
+    ap.add_argument("--mesh", type=bool_type, default=False, nargs="?",
+                    const=True,
                     help="batch-shard reals over all visible devices")
-    ap.add_argument("--tensorboard", action="store_true",
+    ap.add_argument("--tensorboard", type=bool_type, default=False,
+                    nargs="?", const=True,
                     help="additionally write tensorboard event files under "
                          "<out>/logs/tb (needs a tensorboard backend; "
                          "reference train.py:620-635)")
