@@ -219,6 +219,24 @@ def _stack_states(states: List[GAState]) -> GAState:
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *states)
 
 
+def _auto_search_microbatch(K: int) -> Optional[int]:
+    """Measured default for the HOST-STAGED batched img2txt evaluation:
+    decode in >= 2 groups so group g+1's device decode overlaps group g's
+    host BPE round trip (host_eval_population_batched enqueues every
+    group's decode before the first tokenization). One group serializes
+    decode -> BPE and costs ~25% (K=8 flagship GPT2: plain 1811 vs
+    groups-of-4 2425 cand/s); groups of 1 give back the win to per-group
+    dispatch latency (1860). Two groups measured best (groups-of-2 at
+    K=8: 2330), so: the largest proper divisor, None when K < 4 or K is
+    prime (the only split would be groups of 1). DESIGN.md §11."""
+    if K < 4:
+        return None
+    for p in range(2, int(K ** 0.5) + 1):
+        if K % p == 0:
+            return K // p
+    return None
+
+
 def make_batched(problem, targets, force_host_eval: bool = False,
                  search_microbatch: Optional[int] = None) -> BatchedAlgorithm:
     """K-search batched algorithm from a GenerationProblem + K targets.
@@ -235,9 +253,16 @@ def make_batched(problem, targets, force_host_eval: bool = False,
     ctx = batched_targets_bundle(problem, list(targets))
     heb = None
     if algo.host_eval and not problem.config.stochastic:
+        # host-staged path: default to the measured decode/BPE-overlap
+        # grouping when the caller didn't choose one (chunking is pure
+        # scheduling — per-search results are bitwise unchanged)
+        smb_host = search_microbatch
+        if smb_host is None:
+            smb_host = _auto_search_microbatch(len(targets))
         gen = problem.generator
         heb = lambda off, c, keys: gen.host_eval_population_batched(
-            off, c, keys, search_microbatch=search_microbatch)
+            off, c, keys, search_microbatch=smb_host)
+        heb.search_microbatch = smb_host  # introspectable resolved value
     return BatchedAlgorithm(base=algo, ctx=ctx, n_search=len(targets),
                             search_microbatch=search_microbatch,
                             host_eval_batched=heb)

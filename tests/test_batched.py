@@ -138,6 +138,25 @@ def test_batched_img2txt_host_staged_matches_vmapped():
         np.testing.assert_allclose(rh.pop_F, rv.pop_F, rtol=1e-4, atol=1e-5)
 
 
+def test_auto_search_microbatch_default():
+    """Host-staged batched img2txt defaults to the measured decode/BPE
+    overlap grouping (largest proper divisor of K; None below 4 or for
+    primes — DESIGN.md §11); an explicit value always wins."""
+    from clip_glass_tpu.evolve.batched import _auto_search_microbatch as auto
+    assert auto(8) == 4 and auto(4) == 2 and auto(6) == 3
+    assert auto(9) == 3 and auto(12) == 6 and auto(16) == 8
+    for k in (1, 2, 3, 5, 7, 11):
+        assert auto(k) is None
+
+    prob, targets = _tiny_gpt2_problem()
+    targets = targets * 2                       # K=4 -> auto groups of 2
+    b = make_batched(prob, targets, force_host_eval=True)
+    assert b.host_eval_batched.search_microbatch == 2
+    b = make_batched(prob, targets, force_host_eval=True,
+                     search_microbatch=4)
+    assert b.host_eval_batched.search_microbatch == 4
+
+
 def test_batched_img2txt_host_staged_search_microbatch():
     """Host-staged multi-search with search_microbatch: the decode runs in
     groups of smb searches (bounding the KV-cache footprint) with identical
