@@ -25,8 +25,10 @@ def main():
     import jax
 
     # persistent compile cache: repeated bench runs skip the big compiles
-    from clip_glass_tpu.core.backend import enable_compile_cache
+    from clip_glass_tpu.core.backend import (enable_compile_cache,
+                                             tune_tpu_compiler)
     enable_compile_cache()
+    tune_tpu_compiler()  # scoped-VMEM default (measured +3.6% flagship)
 
     from clip_glass_tpu.config import get_config
     from clip_glass_tpu.evolve.algorithm import GAState

@@ -285,8 +285,10 @@ def main(argv=None) -> int:
 
     import jax
     from clip_glass_tpu.core.backend import (enable_compile_cache,
-                                             pin_platform_from_env)
+                                             pin_platform_from_env,
+                                             tune_tpu_compiler)
     pin_platform_from_env()  # JAX_PLATFORMS=cpu etc. wins over plugin default
+    tune_tpu_compiler()  # scoped-VMEM default; before the first backend touch
     from clip_glass_tpu.parallel import distributed as dist
     dist.initialize(args.distributed)  # before the first backend touch
     if dist.active() and not args.mesh:

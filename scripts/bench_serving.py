@@ -23,8 +23,10 @@ def main():
     import jax
     import numpy as np
 
-    from clip_glass_tpu.core.backend import enable_compile_cache
+    from clip_glass_tpu.core.backend import (enable_compile_cache,
+                                             tune_tpu_compiler)
     enable_compile_cache()
+    tune_tpu_compiler()
 
     from clip_glass_tpu.config import get_config
     from clip_glass_tpu.fitness.problem import GenerationProblem

@@ -343,8 +343,10 @@ def main():
 
     import numpy as np
 
-    from clip_glass_tpu.core.backend import enable_compile_cache
+    from clip_glass_tpu.core.backend import (enable_compile_cache,
+                                             tune_tpu_compiler)
     enable_compile_cache()
+    tune_tpu_compiler()
     from clip_glass_tpu.config import get_config
 
     cfg = get_config(args.config).replace(

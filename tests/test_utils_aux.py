@@ -226,3 +226,33 @@ def test_misc_helpers_match_reference_semantics():
 
     assert list(range_type("2-5")) == [2, 3, 4, 5]
     assert range_type("1,4,9") == [1, 4, 9]
+
+
+def test_tune_tpu_compiler_env_logic(monkeypatch):
+    """tune_tpu_compiler sets the scoped-VMEM default exactly once, appends
+    to (never clobbers) an existing LIBTPU_INIT_ARGS, defers to a user who
+    already set the flag, and honors the opt-out env."""
+    from clip_glass_tpu.core.backend import tune_tpu_compiler
+
+    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    monkeypatch.delenv("CLIP_GLASS_NO_TPU_TUNING", raising=False)
+    tune_tpu_compiler()
+    assert os.environ["LIBTPU_INIT_ARGS"] == \
+        "--xla_tpu_scoped_vmem_limit_kib=65536"
+    tune_tpu_compiler()  # idempotent: the flag is already present
+    assert os.environ["LIBTPU_INIT_ARGS"].count("scoped_vmem") == 1
+
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", "--xla_tpu_other_flag=1")
+    tune_tpu_compiler()
+    assert os.environ["LIBTPU_INIT_ARGS"] == \
+        "--xla_tpu_other_flag=1 --xla_tpu_scoped_vmem_limit_kib=65536"
+
+    user = "--xla_tpu_scoped_vmem_limit_kib=16384"
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", user)
+    tune_tpu_compiler()
+    assert os.environ["LIBTPU_INIT_ARGS"] == user  # user's value wins
+
+    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    monkeypatch.setenv("CLIP_GLASS_NO_TPU_TUNING", "1")
+    tune_tpu_compiler()
+    assert "LIBTPU_INIT_ARGS" not in os.environ
