@@ -11,7 +11,7 @@ lengths, >= 3 repeats each, median +/- spread, and the ratio to both the
 L-adjusted ceiling and the K=8 steady state.
 
   python scripts/bench_serving_curve.py            # 20/40/100 gens x 3
-  CURVE_GENS=20,40,100 CURVE_REPEATS=3 CURVE_STEADY=416.6 \
+  CURVE_GENS=20,40,100 CURVE_REPEATS=3 CURVE_STEADY=428.9 \
       python scripts/bench_serving_curve.py
 """
 
@@ -45,8 +45,9 @@ def main():
     gens = [int(g) for g in
             os.environ.get("CURVE_GENS", "20,40,100").split(",")]
     repeats = int(os.environ.get("CURVE_REPEATS", "3"))
-    # K=8 multi-search steady state on this workload (DESIGN.md §11 table)
-    steady = float(os.environ.get("CURVE_STEADY", "416.6"))
+    # K=8 multi-search steady state on this workload (DESIGN.md §11 table,
+    # measured under the round-5 scoped-VMEM default — §9)
+    steady = float(os.environ.get("CURVE_STEADY", "428.9"))
 
     config = get_config(name).replace(
         target="the face of a man with brown eyes", weights="random:0",
