@@ -188,6 +188,14 @@ def main():
     if peak:
         out["mfu"] = round(fpc * cand_per_sec_per_chip / peak, 4)
 
+    # BENCH_CHECKSUM=1: append the final population fitness as an exactness
+    # fingerprint. Compiler-flag sweeps (scripts/sweep_tpu_flags.py) compare
+    # this across arms — a scheduling/fusion flag that changes the NSGA-II
+    # trajectory is NOT semantics-preserving and must not become a default.
+    if os.environ.get("BENCH_CHECKSUM"):
+        f_final = np.asarray(state.F, dtype=np.float64)
+        out["checksum_F"] = f"{float(f_final.sum()):.17g}"
+
     print(json.dumps(out))
     return 0
 
