@@ -28,7 +28,9 @@ precision, `allow_*_numerical_diff`) are deliberately excluded.
 
 Usage:
     python scripts/sweep_tpu_flags.py                 # default screen
-    python scripts/sweep_tpu_flags.py --runs 4 --flags "--xla_tpu_foo=true"
+    python scripts/sweep_tpu_flags.py --runs 4 "--flags=--xla_tpu_foo=true"
+      (use the = form: argparse rejects a space-separated value that
+       itself starts with --)
     BENCH_CONFIG=DeepMindBigGAN512 python scripts/sweep_tpu_flags.py ...
 
 Prints one JSON line per arm as results land, then a final summary table.
